@@ -1,0 +1,56 @@
+"""Farthest point sampling.
+
+TPU-native equivalent of ``pointops.furthestsampling``
+(/root/reference/libs/pointops/functions/pointops.py:11-29, kernel
+libs/pointops/src/sampling/sampling_cuda_kernel.cu:58-168).
+
+Semantics pinned to the CUDA kernel:
+  - the first selected index is always 0;
+  - a running per-point min-distance-to-selected vector is maintained
+    (init 1e10) and the next centre is its argmax;
+  - ties resolve to the lowest index (``jnp.argmax`` first-occurrence; the
+    CUDA lockstep reduction is first-max-in-scan-order, identical for
+    distinct distances).
+
+The m-step dependence is inherently sequential; each step is a fully
+vectorised O(n) distance update + argmax executed on the VPU inside one
+``lax.fori_loop`` so the whole sweep stays on-device in a single XLA
+program (no kernel-launch-per-step, no host sync).
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+from functools import partial
+
+
+@partial(jax.jit, static_argnums=(1,))
+def farthest_point_sample(xyz: jax.Array, m: int) -> jax.Array:
+    """Sample ``m`` of ``n`` points maximising pairwise min-distance.
+
+    Args:
+      xyz: ``(b, n, 3)`` float coordinates.
+      m: number of samples (static, ``m <= n``).
+
+    Returns:
+      ``(b, m)`` int32 indices into ``xyz``.
+    """
+    b, n, _ = xyz.shape
+    xyz = xyz.astype(jnp.float32)
+
+    def body(i, state):
+        min_d, idx = state
+        last = idx[:, i - 1]                               # (b,)
+        last_pt = jnp.take_along_axis(xyz, last[:, None, None], axis=1)
+        d = jnp.sum((xyz - last_pt) ** 2, axis=-1)         # (b, n)
+        min_d = jnp.minimum(min_d, d)
+        nxt = jnp.argmax(min_d, axis=-1).astype(jnp.int32)
+        idx = jax.lax.dynamic_update_index_in_dim(idx, nxt, i, axis=1)
+        return min_d, idx
+
+    min_d0 = jnp.full((b, n), 1e10, dtype=jnp.float32)
+    idx0 = jnp.zeros((b, m), dtype=jnp.int32)
+    if m == 1:
+        return idx0
+    _, idx = jax.lax.fori_loop(1, m, body, (min_d0, idx0))
+    return idx

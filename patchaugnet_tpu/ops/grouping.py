@@ -1,0 +1,148 @@
+"""Gather / group / 3-NN interpolation.
+
+TPU-native equivalents (channels-last ``(b, n, c)`` layout) of:
+  - ``pointops.gathering``      (pointops.py:32-57; backward scatter-add is
+                                 free via JAX autodiff)
+  - ``pointops.grouping``       (pointops.py:121-150, kernel
+                                 libs/pointops/src/grouping/grouping_cuda_kernel.cu:6-94)
+  - ``pointops.nearestneighbor`` + ``pointops.interpolation``
+                                (pointops.py:60-118, kernel
+                                 libs/pointops/src/interpolation/interpolation_cuda_kernel.cu)
+  - ``QueryAndGroup_Edge``      (pointops.py:519-582): kNN/ball grouping with
+                                 EdgeConv-style centering of both xyz and
+                                 features.
+"""
+from __future__ import annotations
+
+from typing import NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from .knn import ball_query, dilated_knn
+from .pairwise import pairwise_sqdist
+
+
+def gather(features: jax.Array, idx: jax.Array) -> jax.Array:
+    """``out[b, j, c] = features[b, idx[b, j], c]``.
+
+    Args:
+      features: ``(b, n, c)``.
+      idx: ``(b, m)`` int indices.
+    Returns: ``(b, m, c)``.
+    """
+    return jnp.take_along_axis(features, idx[..., None], axis=1)
+
+
+def group(features: jax.Array, idx: jax.Array) -> jax.Array:
+    """``out[b, j, s, c] = features[b, idx[b, j, s], c]``.
+
+    Args:
+      features: ``(b, n, c)``.
+      idx: ``(b, m, k)`` int indices.
+    Returns: ``(b, m, k, c)``.
+    """
+    b, m, k = idx.shape
+    flat = gather(features, idx.reshape(b, m * k))
+    return flat.reshape(b, m, k, features.shape[-1])
+
+
+def three_nn(unknown: jax.Array, known: jax.Array) -> Tuple[jax.Array, jax.Array]:
+    """Exact 3 nearest neighbours of ``unknown`` within ``known``.
+
+    Returns ``(dist, idx)`` with ``dist`` the *euclidean* distance
+    (the reference wrapper sqrts the CUDA squared output,
+    pointops.py:76), shapes ``(b, n, 3)``.
+    """
+    d = pairwise_sqdist(unknown, known)
+    neg, idx = jax.lax.top_k(-d, 3)
+    return jnp.sqrt(-neg), idx.astype(jnp.int32)
+
+
+def three_interpolate(
+    features: jax.Array, idx: jax.Array, weight: jax.Array
+) -> jax.Array:
+    """Inverse-distance-weighted 3-point interpolation.
+
+    Args:
+      features: ``(b, m, c)`` source features.
+      idx: ``(b, n, 3)`` neighbour indices into the m axis.
+      weight: ``(b, n, 3)`` weights.
+    Returns: ``(b, n, c)``.
+    """
+    neigh = group(features, idx)                           # (b, n, 3, c)
+    return jnp.einsum(
+        "bnk,bnkc->bnc", weight, neigh, preferred_element_type=jnp.float32
+    )
+
+
+def interpolate_features(
+    unknown_xyz: jax.Array, known_xyz: jax.Array, known_feats: jax.Array
+) -> jax.Array:
+    """The full FP-module interpolation step (patch_aug_net.py:349-356)."""
+    dist, idx = three_nn(unknown_xyz, known_xyz)
+    recip = 1.0 / (dist + 1e-8)
+    weight = recip / jnp.sum(recip, axis=-1, keepdims=True)
+    return three_interpolate(known_feats, idx, weight)
+
+
+class GroupedEdgeFeatures(NamedTuple):
+    new_features: jax.Array      # (b, m, k, 3 + c) centred xyz ++ centred feats
+    grouped_xyz: jax.Array       # (b, m, k, 3) un-centred grouped coordinates
+    sample_idx: jax.Array        # (b, m, k) neighbour indices
+
+
+def query_and_group_edge(
+    xyz: jax.Array,
+    new_xyz: Optional[jax.Array],
+    features: Optional[jax.Array],
+    center_features: Optional[jax.Array],
+    *,
+    nsample: int,
+    radius: Optional[float] = None,
+    knn_dilation: int = 1,
+    use_xyz: bool = True,
+    idx: Optional[jax.Array] = None,
+    key: Optional[jax.Array] = None,
+) -> GroupedEdgeFeatures:
+    """EdgeConv-style query+group (reference ``QueryAndGroup_Edge``).
+
+    Grouped xyz are centred on ``new_xyz``; grouped features are centred
+    on ``center_features`` when ``nsample > 1`` (pointops.py:562-568).
+    Output layout is channels-last: ``(b, m, k, 3 + c)``.
+    """
+    if new_xyz is None:
+        new_xyz = xyz
+    if idx is None:
+        if radius is not None:
+            idx = ball_query(radius, nsample, xyz, new_xyz)
+        else:
+            idx = dilated_knn(xyz, new_xyz, nsample, knn_dilation, key=key)
+    o_grouped_xyz = group(xyz, idx)                        # (b, m, k, 3)
+    grouped_xyz = o_grouped_xyz - new_xyz[:, :, None, :]
+    if features is not None:
+        grouped_feats = group(features, idx)               # (b, m, k, c)
+        if nsample > 1:
+            grouped_feats = grouped_feats - center_features[:, :, None, :]
+        if use_xyz:
+            new_features = jnp.concatenate([grouped_xyz, grouped_feats], axis=-1)
+        else:
+            new_features = grouped_feats
+    else:
+        assert use_xyz, "need features or use_xyz"
+        new_features = grouped_xyz
+    return GroupedEdgeFeatures(new_features, o_grouped_xyz, idx)
+
+
+def group_all(xyz: jax.Array, features: Optional[jax.Array], use_xyz: bool = True) -> jax.Array:
+    """Reference ``GroupAll`` (pointops.py:637-661): one group of all points.
+
+    Returns ``(b, 1, n, 3 + c)`` channels-last.
+    """
+    grouped_xyz = xyz[:, None, :, :]
+    if features is not None:
+        grouped = features[:, None, :, :]
+        if use_xyz:
+            return jnp.concatenate([grouped_xyz, grouped], axis=-1)
+        return grouped
+    return grouped_xyz
