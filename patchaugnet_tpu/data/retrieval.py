@@ -1,0 +1,200 @@
+"""Retrieval / recall engine.
+
+TPU-native replacement for the sklearn-KDTree retrieval paths of the
+reference data engine:
+  - neighbour search over the descriptor database
+    (``scene_dataset.get_recall_precision``, scene_dataset.py:1016-1099;
+    ``find_top_k_feat``, :868-975; hard-negative mining, :1101-1113)
+    becomes one batched ``Q @ DB^T`` + ``lax.top_k`` on the MXU;
+  - the recall/precision bookkeeping keeps the reference's exact
+    semantics (skip-self ``continue`` without advancing the rank slot,
+    add_one_more leading-self skip, 1%% threshold ``max(round(DB/100),1)``,
+    cumulative-sum recall) in numpy over the top-k index matrix.
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from functools import partial
+from typing import Dict, List, Optional, Sequence, Set, Tuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+
+@partial(jax.jit, static_argnums=(2,))
+def _topk_l2(queries: jax.Array, database: jax.Array, k: int):
+    q2 = jnp.sum(queries * queries, axis=-1, keepdims=True)
+    d2 = jnp.sum(database * database, axis=-1, keepdims=True)
+    qd = jnp.einsum(
+        "qd,md->qm", queries, database, preferred_element_type=jnp.float32
+    )
+    dist = jnp.maximum(q2 + d2.T - 2.0 * qd, 0.0)
+    neg, idx = jax.lax.top_k(-dist, k)
+    return -neg, idx
+
+
+def topk_neighbors(
+    queries: np.ndarray,
+    database: np.ndarray,
+    k: int,
+    chunk: int = 4096,
+) -> Tuple[np.ndarray, np.ndarray]:
+    """k nearest database rows per query (ascending L2 distance).
+
+    Chunks the query axis so arbitrarily large query sets stream through
+    a single compiled program.
+    """
+    queries = np.asarray(queries, np.float32)
+    database = np.asarray(database, np.float32)
+    k = min(k, database.shape[0])
+    dists, idxs = [], []
+    for s in range(0, queries.shape[0], chunk):
+        d, i = _topk_l2(
+            jnp.asarray(queries[s : s + chunk]), jnp.asarray(database), k
+        )
+        dists.append(np.asarray(d))
+        idxs.append(np.asarray(i))
+    return np.concatenate(dists), np.concatenate(idxs)
+
+
+@dataclass
+class RecallResult:
+    """One (query_trip, ref_trip) evaluation block — the tuple the
+    reference returns at scene_dataset.py:1095-1099."""
+
+    recall: np.ndarray                 # (top_k,) cumulative %
+    precision: np.ndarray              # (top_k,) %
+    one_percent_recall: float
+    lost: int                          # num_evaluated - one_percent_retrieved
+    threshold: int                     # the "1%" neighbour count
+    query_results: List[Dict] = field(default_factory=list)
+    num_evaluated: int = 0
+    num_database: int = 0
+
+
+def recall_precision(
+    query_descs: np.ndarray,
+    database_descs: np.ndarray,
+    database_indices: Sequence[int],
+    query_indices: Sequence[int],
+    true_positives: Dict[int, Set[int]],
+    top_k: int = 25,
+    add_one_more: bool = False,
+    collect_query_results: bool = False,
+) -> RecallResult:
+    """Recall@1..top_k / Recall@1% / Precision@1..top_k.
+
+    Args:
+      query_descs: ``(Q, D)`` query descriptors (dataset order of
+        ``query_indices``).
+      database_descs: ``(M, D)`` database descriptors.
+      database_indices: dataset-global index of each database row.
+      query_indices: dataset-global index of each query row.
+      true_positives: dataset-global query idx -> set of positive
+        dataset-global indices. Queries with no positives are skipped
+        (scene_dataset.py:1045-1046).
+      add_one_more: query set is part of the database — fetch one extra
+        neighbour and drop the leading self-match (scene_dataset.py:1038,
+        1053-1056).
+    """
+    num_db = len(database_indices)
+    threshold = max(int(round(num_db / 100.0)), 1)
+    real_top_k = max(top_k + 1, threshold + 1)
+    real_top_k = min(real_top_k, num_db)
+
+    _, nbr = topk_neighbors(query_descs, database_descs, real_top_k)
+    db_idx = np.asarray(database_indices)
+    search = db_idx[nbr]                                    # (Q, real_top_k)
+
+    recall = np.zeros(top_k)
+    precision = np.zeros(top_k)
+    one_percent_retrieved = 0
+    num_evaluated = 0
+    query_results: List[Dict] = []
+
+    for qi, q_global in enumerate(query_indices):
+        positives = true_positives.get(q_global, set())
+        if not positives:
+            continue
+        num_evaluated += 1
+        found = search[qi, 1:] if add_one_more else search[qi]
+        found_positive = False
+        for j in range(min(len(found), top_k)):
+            fj = int(found[j])
+            if fj == q_global:
+                continue                                   # skip-self keeps slot j
+            if fj in positives:
+                if not found_positive:
+                    recall[j] += 1
+                    found_positive = True
+                precision[j] += 1
+        state = 2
+        if set(int(x) for x in found[:threshold]) & positives:
+            one_percent_retrieved += 1
+            state = 1
+        if collect_query_results:
+            topn = [int(found[j]) for j in range(min(5, len(found)))]
+            states = [t in positives for t in topn]
+            if states and states[0]:
+                state = 0
+            query_results.append(
+                {"query": int(q_global), "state": state,
+                 "topN": topn, "topN_states": states}
+            )
+
+    one_percent_recall = 0.0
+    if num_evaluated > 0:
+        one_percent_recall = one_percent_retrieved / float(num_evaluated) * 100
+        recall = np.cumsum(recall) / float(num_evaluated) * 100
+        precision = (
+            np.cumsum(precision) / float(num_evaluated) * 100
+            / np.arange(1, top_k + 1)
+        )
+    return RecallResult(
+        recall=recall,
+        precision=precision,
+        one_percent_recall=one_percent_recall,
+        lost=num_evaluated - one_percent_retrieved,
+        threshold=threshold,
+        query_results=query_results,
+        num_evaluated=num_evaluated,
+        num_database=num_db,
+    )
+
+
+def hard_negatives(
+    query_desc: np.ndarray,
+    all_descs: np.ndarray,
+    negative_indices: Sequence[int],
+    num_hard_neg: int = 10,
+) -> List[int]:
+    """Nearest negatives in descriptor space (scene_dataset.py:1101-1113).
+
+    Returns [] when fewer than ``num_hard_neg`` candidates exist, like
+    the reference.
+    """
+    if len(negative_indices) < num_hard_neg:
+        return []
+    cand = np.asarray(all_descs)[np.asarray(negative_indices)]
+    _, idx = topk_neighbors(query_desc[None], cand, num_hard_neg)
+    return np.asarray(negative_indices)[idx[0]].tolist()
+
+
+def hard_negatives_batch(
+    query_descs: np.ndarray,
+    all_descs: np.ndarray,
+    negative_indices_list: Sequence[Sequence[int]],
+    num_hard_neg: int = 10,
+) -> List[List[int]]:
+    """Vectorised hard-negative mining for many queries at once.
+
+    The reference mines per-query inside DataLoader workers with a fresh
+    KDTree each time (scene_dataset.py:1101-1113); on TPU we batch all
+    queries sharing the full-database candidate set into one matmul
+    top-k and post-filter to each query's negative set.
+    """
+    return [
+        hard_negatives(q, all_descs, negs, num_hard_neg)
+        for q, negs in zip(query_descs, negative_indices_list)
+    ]

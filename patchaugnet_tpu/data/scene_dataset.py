@@ -1,0 +1,488 @@
+"""Scene dataset: submap records, pos/neg tuples, descriptor store.
+
+TPU-native rebuild of ``datasets/scene_dataset.py`` (1279 LoC). One
+scene = several "trips" of submaps. Responsibilities kept:
+
+  - ``create``: walk trip dirs, read ``{submap_type}.csv`` of
+    (timestamp, northing, easting), carve train/test by region boxes,
+    KDTree radius search -> positive/negative tuples per
+    (query_trip, ref_trip), pickle everything (scene_dataset.py:299-426).
+  - ``load`` from pickles (:428-471) — reads both this framework's
+    pickles and the reference's (class-path remapping unpickler).
+  - ``get_tuple`` merged across ref trips (:150-174).
+  - training-tuple assembly with hard-negative mining
+    (:473-492, 1124-1247) — mining runs on-TPU (data/retrieval.py)
+    instead of per-query sklearn KDTrees.
+  - ``make_descs``: batched whole-database embedding with optional
+    wall-clock stats (:494-711) — the model forward is a jitted apply
+    fed fixed-size batches.
+  - recall/precision per (query_trip, ref_trip) via the on-TPU
+    retrieval engine with reference-exact bookkeeping (:1016-1099).
+
+The synthetic scene (``name='synthetic'``) is generated in memory so CI
+and smoke runs need no data on disk.
+"""
+from __future__ import annotations
+
+import os
+import pickle
+import random
+import time
+from dataclasses import dataclass, field
+from typing import Callable, Dict, List, Optional, Sequence, Set, Tuple
+
+import numpy as np
+import pandas as pd
+
+from . import retrieval
+from .dataset_info import dataset_info_dict
+from .pointclouds import load_pc_files, normalize_point_clouds
+
+
+@dataclass
+class QueryPosNegTuple:
+    """Positive/negative dataset-global indices for one query.
+
+    Field names match the reference class (scene_dataset.py:21-24) so
+    reference pickles map onto it directly.
+    """
+
+    positive_indices: List[int] = field(default_factory=list)
+    negative_indices: List[int] = field(default_factory=list)
+
+
+class _CompatUnpickler(pickle.Unpickler):
+    """Loads reference pickles whose tuples reference
+    ``datasets.scene_dataset.QueryPosNegTuple``."""
+
+    def find_class(self, module, name):
+        if name == "QueryPosNegTuple":
+            return QueryPosNegTuple
+        return super().find_class(module, name)
+
+
+def _check_in_test_region(northing, easting, points, x_width, y_width) -> bool:
+    for p in points:
+        if p[0] - x_width < northing < p[0] + x_width and p[1] - y_width < easting < p[1] + y_width:
+            return True
+    return False
+
+
+class SceneDataset:
+    """One scene (all trips), its tuples, and its descriptor store."""
+
+    def __init__(self, name: str, for_training: bool):
+        self.name = name
+        info = dataset_info_dict[name]
+        self.data_cfg = info.train_cfg() if for_training else info.test_cfg()
+        self.submap_type = self.data_cfg["submap_type"]
+        prefix = "test_" if self.data_cfg["is_test_dataset"] else "train_"
+        self.dataset_type = prefix + self.submap_type
+        self.num_points = self.data_cfg.get("num_points", 4096)
+
+        self.trip_names: List[str] = []
+        self.records = pd.DataFrame(columns=["file", "northing", "easting"])
+        self.records_size_list: List[int] = []
+        self.valid_indices_list: List[Set[int]] = []
+        # (q_trip, r_trip) -> {q_idx_in_dataset: QueryPosNegTuple}
+        self.tuples: Dict[Tuple[int, int], Dict[int, QueryPosNegTuple]] = {}
+        self.global_descs: Optional[np.ndarray] = None
+        self.hard_negative_indices: Dict[int, List[int]] = {}
+        # in-memory cloud store for the synthetic scene
+        self._clouds: Optional[np.ndarray] = None
+        # in-memory overlap correspondences: (q_idx, p_idx) -> list of
+        # (idx1, near2[list], far2[list], bad_far2[list])
+        self.overlap_store: Dict[Tuple[int, int], List] = {}
+
+    # ------------------------------------------------------------- misc
+    def __len__(self) -> int:
+        return len(self.records)
+
+    def data_dir(self) -> str:
+        return self.data_cfg["data_dir"]
+
+    def pickle_dir(self) -> str:
+        return os.path.join(self.data_dir(), "pickle_data")
+
+    def trip_indices(self) -> List[List[int]]:
+        out, s = [], 0
+        for n in self.records_size_list:
+            out.append(list(range(s, s + n)))
+            s += n
+        return out
+
+    def trip_of(self, idx: int) -> Tuple[int, int]:
+        s = 0
+        for t, n in enumerate(self.records_size_list):
+            if s <= idx < s + n:
+                return t, idx - s
+            s += n
+        return -1, -1
+
+    # ----------------------------------------------------------- create
+    def create(self, max_neg: int = 10000, save: bool = True) -> None:
+        """Build records + tuples from trip CSVs (reference create())."""
+        from sklearn.neighbors import KDTree
+
+        from ..utils.timestamps import timestamp2str
+
+        cfg = self.data_cfg
+        trip_dirs = sorted(
+            d
+            for d in os.listdir(self.data_dir())
+            if os.path.isdir(os.path.join(self.data_dir(), d)) and "pickle_data" not in d
+        )
+        wanted = cfg["trip_names"]
+        self.trip_names = (
+            [t for t in wanted if t in trip_dirs] if isinstance(wanted, list) else trip_dirs
+        )
+
+        frames = []
+        for trip in self.trip_names:
+            csv = os.path.join(self.data_dir(), trip, self.submap_type + ".csv")
+            tr = pd.read_csv(csv, sep=",").sort_values("timestamp")
+            cloud_dir = os.path.join(self.data_dir(), trip, self.submap_type)
+            tr["file"] = [
+                os.path.join(cloud_dir, timestamp2str(ts) + cfg["cloud_ext"])
+                for ts in tr["timestamp"]
+            ]
+            tr = tr[["file", "northing", "easting"]]
+            if not cfg["is_test_dataset"]:
+                keep = [
+                    not _check_in_test_region(
+                        r["northing"], r["easting"], cfg["test_region_vertices"],
+                        cfg["test_region_width"], cfg["test_region_width"],
+                    )
+                    for _, r in tr.iterrows()
+                ]
+                tr = tr[keep]
+            frames.append(tr.reset_index(drop=True))
+            self.records_size_list.append(len(tr))
+            self.valid_indices_list.append(set())
+        self.records = pd.concat(frames, ignore_index=True)
+        self._build_tuples(KDTree, max_neg)
+        if save:
+            self.save()
+
+    def _build_tuples(self, KDTree, max_neg: int) -> None:
+        cfg = self.data_cfg
+        tree = KDTree(self.records[["northing", "easting"]].values)
+        n_trips = len(self.trip_names)
+        for qt in range(n_trips):
+            for rt in range(n_trips):
+                self.tuples[qt, rt] = {}
+        all_indices = np.arange(len(self.records))
+        for q_idx in range(len(self.records)):
+            rec = self.records.iloc[q_idx]
+            in_test = _check_in_test_region(
+                rec["northing"], rec["easting"], cfg["test_region_vertices"],
+                cfg["test_region_width"], cfg["test_region_width"],
+            )
+            if cfg["is_test_dataset"] ^ in_test:
+                continue
+            qt, _ = self.trip_of(q_idx)
+            center = np.array([[rec["northing"], rec["easting"]]])
+            pos = np.setdiff1d(
+                tree.query_radius(center, r=cfg["search_radius_pos"])[0], [q_idx]
+            ).tolist()
+            near = tree.query_radius(center, r=cfg["search_radius_neg"])[0]
+            neg = np.setdiff1d(all_indices, near).tolist()
+            if len(neg) > max_neg:
+                neg = random.sample(neg, max_neg)
+            for p in pos:
+                rt, _ = self.trip_of(p)
+                self.tuples[qt, rt].setdefault(q_idx, QueryPosNegTuple()).positive_indices.append(p)
+            for n in neg:
+                rt, _ = self.trip_of(n)
+                self.tuples[qt, rt].setdefault(q_idx, QueryPosNegTuple()).negative_indices.append(n)
+            if pos and neg:
+                self.valid_indices_list[qt].add(q_idx)
+
+    def create_synthetic(
+        self,
+        n_trips: int = 2,
+        n_per_trip: int = 24,
+        num_points: Optional[int] = None,
+        seed: int = 0,
+    ) -> None:
+        """In-memory scene: trips revisit the same route of "locations",
+        each location contributing a close pair of submaps, so every
+        query has several true positives (pair partner + cross-trip
+        revisits within ``search_radius_pos``) and far locations supply
+        negatives beyond ``search_radius_neg``."""
+        from sklearn.neighbors import KDTree
+
+        num_points = num_points or self.num_points
+        rng = np.random.RandomState(seed)
+        self.trip_names = [f"trip_{i}" for i in range(n_trips)]
+        # test split lives inside the registry's test-region box
+        region_offset = 10000.0 if self.data_cfg["is_test_dataset"] else 0.0
+        n_loc = max(n_per_trip // 2, 1)
+        loc_spacing, pair_offset = 25.0, 5.0
+        # one latent "place geometry" per location (pair shares it)
+        base_clouds = rng.rand(n_loc, num_points, 3).astype(np.float32) * 2 - 1
+        rows, clouds = [], []
+        for t in range(n_trips):
+            count = 0
+            for i in range(n_per_trip):
+                loc = i // 2
+                rows.append(
+                    {
+                        "file": f"synthetic://{t}/{i}",
+                        "northing": region_offset + loc * loc_spacing
+                        + (i % 2) * pair_offset + rng.randn() * 0.5,
+                        "easting": rng.randn() * 0.5,
+                    }
+                )
+                cloud = base_clouds[loc] + rng.randn(num_points, 3).astype(np.float32) * 0.02
+                clouds.append(cloud)
+                count += 1
+            self.records_size_list.append(count)
+            self.valid_indices_list.append(set())
+        self.records = pd.DataFrame(rows)
+        self._clouds = np.stack(clouds)
+        self._build_tuples(KDTree, max_neg=10000)
+
+    # ------------------------------------------------------------ io
+    def save(self) -> None:
+        pdir = self.pickle_dir()
+        os.makedirs(pdir, exist_ok=True)
+        for (qt, rt), d in self.tuples.items():
+            if not d:
+                continue
+            path = os.path.join(pdir, f"{self.dataset_type}_tuples_{qt}_to_{rt}.pickle")
+            with open(path, "wb") as f:
+                pickle.dump(d, f, protocol=pickle.HIGHEST_PROTOCOL)
+        path = os.path.join(pdir, f"{self.dataset_type}_records.pickle")
+        with open(path, "wb") as f:
+            pickle.dump(
+                (self.trip_names, self.records, self.records_size_list, self.valid_indices_list),
+                f,
+                protocol=pickle.HIGHEST_PROTOCOL,
+            )
+
+    def load(self) -> bool:
+        """Load records + all tuple pickles (reference or own format)."""
+        if self.name == "synthetic":
+            if len(self.records) == 0:
+                self.create_synthetic()
+            return True
+        pdir = self.pickle_dir()
+        rec = os.path.join(pdir, f"{self.dataset_type}_records.pickle")
+        if not os.path.exists(rec):
+            return False
+        with open(rec, "rb") as f:
+            (self.trip_names, self.records, self.records_size_list,
+             self.valid_indices_list) = _CompatUnpickler(f).load()
+        n = len(self.trip_names)
+        for qt in range(n):
+            for rt in range(n):
+                path = os.path.join(pdir, f"{self.dataset_type}_tuples_{qt}_to_{rt}.pickle")
+                if os.path.exists(path):
+                    with open(path, "rb") as f:
+                        self.tuples[qt, rt] = _CompatUnpickler(f).load()
+        return True
+
+    # --------------------------------------------------------- tuples
+    def get_tuple(
+        self, q_idx: int, ref_trip_idx: int = -1, skip_trip_itself: bool = False
+    ) -> QueryPosNegTuple:
+        qt, _ = self.trip_of(q_idx)
+        out = QueryPosNegTuple()
+        trips = (
+            range(len(self.trip_names)) if ref_trip_idx == -1 else [ref_trip_idx]
+        )
+        for rt in trips:
+            if qt == rt and skip_trip_itself:
+                continue
+            d = self.tuples.get((qt, rt))
+            if d and q_idx in d:
+                out.positive_indices += d[q_idx].positive_indices
+                out.negative_indices += d[q_idx].negative_indices
+        return out
+
+    def true_positives_for(
+        self, query_indices: Sequence[int], ref_trip_idx: int, skip_trip_itself: bool
+    ) -> Dict[int, Set[int]]:
+        return {
+            q: set(self.get_tuple(q, ref_trip_idx, skip_trip_itself).positive_indices)
+            for q in query_indices
+        }
+
+    # --------------------------------------------------------- clouds
+    def get_clouds(
+        self, indices: Sequence[int], normalize: bool = True
+    ) -> Tuple[np.ndarray, List[Dict]]:
+        """Load + (optionally) normalise clouds for dataset-global indices."""
+        if self._clouds is not None:
+            pcs = [self._clouds[i].copy() for i in indices]
+        else:
+            files = [self.records.iloc[i]["file"] for i in indices]
+            pcs = load_pc_files(
+                files, "", dtype=self.data_cfg["cloud_dtype"],
+                use_np_load=self.data_cfg["self_collected"],
+            )
+        metas: List[Dict] = [{} for _ in pcs]
+        if normalize and self.data_cfg["self_collected"]:
+            pcs, metas = normalize_point_clouds(pcs, True)
+        return np.asarray(pcs, np.float32), metas
+
+    def get_training_tuple(
+        self,
+        q_idx: int,
+        num_pos: int,
+        num_neg: int,
+        other_neg: bool = True,
+        rng: Optional[random.Random] = None,
+    ) -> Optional[Dict]:
+        """Sample a (query, positives, negatives, other_neg) tuple.
+
+        Returns None for faulty tuples (insufficient pos/neg or missing
+        other_neg — the reference *skips* those batches,
+        train_place_recognition.py:223-256).
+        """
+        rng = rng or random
+        t = self.get_tuple(q_idx, -1, self.data_cfg["skip_trip_itself"])
+        if len(t.positive_indices) < num_pos or len(t.negative_indices) < num_neg:
+            return None
+        pos = rng.sample(t.positive_indices, num_pos)
+        hard = self.hard_negative_indices.get(q_idx, [])
+        neg = rng.sample(hard, num_neg) if len(hard) >= num_neg else list(hard)
+        while len(neg) < num_neg:
+            c = rng.choice(t.negative_indices)
+            if c not in neg:
+                neg.append(c)
+        o_idx = None
+        if other_neg:
+            neighbors = set(t.positive_indices)
+            for n in neg:
+                neighbors |= set(
+                    self.get_tuple(n, -1, self.data_cfg["skip_trip_itself"]).positive_indices
+                )
+            candidates = list(set(range(len(self.records))) - neighbors)
+            if not candidates:
+                return None
+            o_idx = rng.choice(candidates)
+        indices = [q_idx] + pos + neg + ([o_idx] if o_idx is not None else [])
+        clouds, metas = self.get_clouds(indices)
+        return {
+            "indices": ([q_idx], pos, neg, [o_idx] if o_idx is not None else []),
+            "clouds": clouds,            # (1+P+N+1, num_points, 3)
+            "norm_meta": metas,
+        }
+
+    # ------------------------------------------------- hard negatives
+    def mine_hard_negatives(
+        self, num_hard_neg: int = 10, num_sample_neg: int = 3000
+    ) -> None:
+        """Refresh the hard-negative cache from current global_descs
+        (scene_dataset.py:473-492 inlined per __getitem__; here one
+        batched pass)."""
+        if self.global_descs is None:
+            return
+        for q_idx in range(len(self.records)):
+            t = self.get_tuple(q_idx, -1, self.data_cfg["skip_trip_itself"])
+            negs = t.negative_indices
+            if not negs:
+                continue
+            if len(negs) > num_sample_neg:
+                negs = list(np.random.choice(negs, num_sample_neg, replace=False))
+            self.hard_negative_indices[q_idx] = retrieval.hard_negatives(
+                self.global_descs[q_idx], self.global_descs, negs, num_hard_neg
+            )
+
+    # ------------------------------------------------------ descriptors
+    def make_descs(
+        self,
+        forward_fn: Callable[[np.ndarray], np.ndarray],
+        batch_size: int = 100,
+        stat_time: bool = False,
+    ) -> Optional[Dict[str, float]]:
+        """Embed the whole database.
+
+        ``forward_fn``: jitted ``(B, N, 3) -> (B, D)``. The last partial
+        batch is padded to ``batch_size`` (static shapes — one compiled
+        program for the whole sweep, unlike the per-batch-size
+        recompile hazard of dynamic frameworks).
+        """
+        n = len(self.records)
+        descs = []
+        times = []
+        for s in range(0, n, batch_size):
+            idx = list(range(s, min(s + batch_size, n)))
+            clouds, _ = self.get_clouds(idx)
+            pad = batch_size - len(idx)
+            if pad:
+                clouds = np.concatenate([clouds, np.repeat(clouds[-1:], pad, 0)])
+            t0 = time.perf_counter()
+            out = np.asarray(forward_fn(clouds))
+            dt = time.perf_counter() - t0
+            if stat_time:
+                times.append(dt / batch_size)
+            descs.append(out[: len(idx)])
+        self.global_descs = np.concatenate(descs)
+        if stat_time and times:
+            # skip the first (compile) batch like the reference skips
+            # warm-up noise in its mean/std report
+            t = np.array(times[1:] or times) * 1000
+            return {"mean_ms": float(t.mean()), "std_ms": float(t.std())}
+        return None
+
+    def clear_global_descs(self) -> None:
+        self.global_descs = None
+
+    # ---------------------------------------------------------- recall
+    def recall_precision_all(
+        self, top_k: int = 25, collect_query_results: bool = False
+    ) -> Dict[Tuple[int, int], retrieval.RecallResult]:
+        """Per-(query_trip, ref_trip) recall/precision using on-TPU
+        retrieval (PlaceRecognitionDataSet.get_recall_precision,
+        place_recognition_dataset.py:52-70)."""
+        assert self.global_descs is not None, "run make_descs first"
+        skip = self.data_cfg["skip_trip_itself"]
+        test_query_trips = self.data_cfg["test_query_trips"]
+        sample_indices = self.trip_indices()
+        out = {}
+        for rt in range(len(self.trip_names)):
+            db_idx = sample_indices[rt]
+            db_descs = self.global_descs[db_idx]
+            for qt in range(len(self.trip_names)):
+                if skip and qt == rt:
+                    continue
+                if test_query_trips is not None and self.trip_names[qt] not in test_query_trips:
+                    continue
+                q_idx = sample_indices[qt]
+                res = retrieval.recall_precision(
+                    self.global_descs[q_idx],
+                    db_descs,
+                    db_idx,
+                    q_idx,
+                    self.true_positives_for(q_idx, rt, skip),
+                    top_k=top_k,
+                    add_one_more=(qt == rt) and not skip,
+                    collect_query_results=collect_query_results,
+                )
+                out[qt, rt] = res
+        return out
+
+    def find_top_k_feat(self, top_k: int = 300) -> Dict[int, Dict]:
+        """Top-k dump in feature space (scene_dataset.py:868-975) —
+        returns {query_idx: {'feat_knn': array}} per reference format."""
+        assert self.global_descs is not None
+        out = {}
+        sample_indices = self.trip_indices()
+        for rt in range(len(self.trip_names)):
+            db_idx = np.asarray(sample_indices[rt])
+            db = self.global_descs[db_idx]
+            k = min(top_k + 1, len(db_idx))
+            for qt in range(len(self.trip_names)):
+                if self.data_cfg["skip_trip_itself"] and qt == rt:
+                    continue
+                q_idx = sample_indices[qt]
+                _, nbr = retrieval.topk_neighbors(self.global_descs[q_idx], db, k)
+                for qi, q in enumerate(q_idx):
+                    found = db_idx[nbr[qi]]
+                    if qt == rt:
+                        found = found[found != q][: top_k]
+                    out.setdefault(q, {})[("feat_knn", rt)] = found[:top_k]
+        return out

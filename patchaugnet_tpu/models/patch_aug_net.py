@@ -1,0 +1,146 @@
+"""PatchAugNet (flax, channels-last).
+
+TPU-native rebuild of
+``place_recognition/patch_aug_net/models/patch_aug_net.py``:
+3-level PointNet++ with EdgeConv grouping + dilated kNN
+(patch_aug_net.py:110-139), index provenance back to the original cloud
+(:169-177), 3 FP levels, SpatialPyramidNetVLAD aggregation (APFA2 by
+default), and the patch-reconstruction branch.
+
+TPU re-architecture of the patch branch: the reference loops over
+"related clouds" on the host and runs the decoder per cloud
+(patch_aug_net.py:68-103) with repeated device syncs; here the branch is
+**vectorised over the whole batch** — origin patches, L2-normalised
+patch features and reconstructed patches are produced for every cloud in
+one program, and the patch-contrast losses select rows with padded index
+tables (see losses/patch_contrast.py). Selecting all clouds is the
+static-shape superset of the reference's dynamic selection; unused rows
+cost nothing extra on the MXU at these sizes and keep the whole train
+step jittable.
+"""
+from __future__ import annotations
+
+from typing import Any, Dict, List, NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from .. import ops
+from ..nn import PointNetDecoder, SpatialPyramidNetVLAD, l2_normalize
+from .backbone import PointNet2FPModule, PointNet2SAModule, index_provenance
+
+
+class PatchData(NamedTuple):
+    """Per-cloud patch tensors (level-1 patches: 1024 per cloud)."""
+
+    center_indices: jax.Array       # (B, 1024) original-cloud centre indices
+    origin_patches: jax.Array       # (B, 1024, nsample, 3) raw grouped xyz
+    patch_features: jax.Array       # (B, 1024, 256) L2-normalised
+    reconstructed_patches: Optional[jax.Array]  # (B, 1024, nsample, 3)
+
+
+class PatchAugNetOutput(NamedTuple):
+    global_desc: jax.Array          # (B, 256)
+    fp_features: List[jax.Array]    # [(B,128,C), (B,1024,C), (B,4096,C)]
+    center_idx_origin: List[jax.Array]
+    sample_idx_origin: List[jax.Array]
+    patch_data: Optional[PatchData]
+
+
+class PatchAugNet(nn.Module):
+    """``(B, N, 3) -> PatchAugNetOutput``.
+
+    ``param`` mirrors configs/patch_aug_net.yaml keys. ``use_a2a_recon``
+    enables the PointNet decoder head (patch_aug_net.py:45-46).
+    """
+
+    param: Dict[str, Any]
+    use_a2a_recon: bool = True
+    use_l2_norm: bool = True
+
+    @nn.compact
+    def __call__(
+        self, x: jax.Array, *, train: bool = False, with_patches: bool = False
+    ) -> PatchAugNetOutput:
+        if x.ndim == 4:
+            x = x.squeeze(1)
+        p = self.param
+        xyz = x
+        sap, knn, dil = p["SAMPLING"], p["KNN"], p.get("KNN_DILATION", 1)
+        fs = p["FEATURE_SIZE"]
+        use_origin_pc_in_fp = p.get("USE_ORIGIN_PC_IN_FP", True)
+
+        # SA widths (patch_aug_net.py:124-132): 64, 256, 512.
+        sa_specs = [
+            (sap[0], knn[0], [32, 32, 64]),
+            (sap[1], knn[1], [64, 64, 256]),
+            (sap[2], knn[2], [256, 256, 512]),
+        ]
+        l_xyz, l_feats = [x], [x]
+        center_idx, sample_idx = [], []
+        for i, (npoint, k, widths) in enumerate(sa_specs):
+            out = PointNet2SAModule(
+                npoint=npoint,
+                nsample=k,
+                mlp=widths,
+                knn_dilation=dil,
+                gp=None,
+                name=f"sa{i}",
+            )(l_xyz[i], l_feats[i], train=train)
+            l_xyz.append(out.new_xyz)
+            l_feats.append(out.features)
+            center_idx.append(out.center_idx)
+            sample_idx.append(out.sample_idx)
+
+        center_origin, sample_origin = index_provenance(center_idx, sample_idx)
+
+        # FP mlps (patch_aug_net.py:137-139).
+        fp_specs = [
+            [256, 256, fs[0]],   # fs[1]+c -> 256 -> 256 -> fs[0] (to l0)
+            [256, fs[1]],        # fs[2]+64 -> 256 -> fs[1] (to l1)
+            [256, fs[2]],        # 512+256 -> 256 -> fs[2] (to l2)
+        ]
+        for i in range(len(fp_specs) - 1, -1, -1):
+            unknown_feats = l_feats[i]
+            if i == 0 and not use_origin_pc_in_fp:
+                unknown_feats = None
+            l_feats[i] = PointNet2FPModule(mlp=fp_specs[i], name=f"fp{i}")(
+                l_xyz[i], l_xyz[i + 1], unknown_feats, l_feats[i + 1], train=train
+            )
+
+        # fp_features ordered coarse->fine as the reference returns them
+        # (patch_aug_net.py:191): [128-pt, 1024-pt, 4096-pt].
+        fp_features = [l_feats[2], l_feats[1], l_feats[0]]
+
+        desc = SpatialPyramidNetVLAD(
+            feature_size=fs,
+            max_samples=p["MAX_SAMPLES"],
+            cluster_size=p["CLUSTER_SIZE"],
+            output_dim=p["OUTPUT_DIM"],
+            gating=p.get("GATING", False),
+            aggregation_type=p.get("AGGREGATION_TYPE", 2),
+            add_batch_norm=True,
+            name="aggregation",
+        )(fp_features, train=train)
+
+        patch_data = None
+        if with_patches:
+            # Level-1 patches for every cloud in the batch (vectorised
+            # replacement for patch_aug_net.py:68-103).
+            origin_patches = ops.group(xyz, sample_origin[0])  # (B,1024,k,3)
+            pf = fp_features[1]                                # (B,1024,C)
+            if self.use_l2_norm:
+                pf = l2_normalize(pf, axis=-1)
+            recon = None
+            if self.use_a2a_recon:
+                b, m, c = pf.shape
+                recon = PointNetDecoder(
+                    embedding_size=fs[1], num_points=knn[0], name="decoder"
+                )(pf.reshape(b * m, c), train=train)
+                recon = recon.reshape(b, m, knn[0], 3)
+            patch_data = PatchData(center_origin[0], origin_patches, pf, recon)
+
+        return PatchAugNetOutput(
+            desc, fp_features, center_origin, sample_origin, patch_data
+        )

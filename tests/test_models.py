@@ -1,0 +1,162 @@
+"""Model forward tests: shapes, finiteness, determinism, BN state.
+
+Mirrors the reference's smoke blocks (PointNetVlad.py:250-259 shape
+test, loupe.py:364-370) and exercises every aggregation type.
+"""
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+from patchaugnet_tpu.models import get_model, PatchAugNet
+
+# small-N configs for fast CPU tests (structure identical to the yaml)
+PATCH_AUG_PARAM = {
+    "AGGREGATION": "spvlad",
+    "AGGREGATION_TYPE": 2,
+    "GROUP": 8,
+    "NUM_POINTS": 256,
+    "FEATURE_OUTPUT_DIM": 256,
+    "FEATURE_SIZE": [256, 256, 256],
+    "MAX_SAMPLES": [16, 64, 256],
+    "CLUSTER_SIZE": [4, 16, 64],
+    "OUTPUT_DIM": [256, 256, 256],
+    "USE_ORIGIN_PC_IN_FP": True,
+    "GATING": False,
+    "SAMPLING": [64, 16, 8],
+    "KNN": [10, 10, 8],
+    "KNN_DILATION": 2,
+    "use_patch_recon": True,
+}
+
+PPT_PARAM = {
+    "AGGREGATION": "spvlad",
+    "GROUP": 8,
+    "NUM_POINTS": 256,
+    "FEATURE_OUTPUT_DIM": 256,
+    "FEATURE_SIZE": [256, 256, 256, 256],
+    "MAX_SAMPLES": [16, 32, 64, 256],
+    "CLUSTER_SIZE": [1, 4, 16, 64],
+    "OUTPUT_DIM": [256, 256, 256, 256],
+    "GATING": True,
+    "SAMPLING": [64, 32, 16, 8],
+    "KNN": [10, 10, 8, 8],
+}
+
+PNV_PARAM = {"NUM_POINTS": 256, "FEATURE_OUTPUT_DIM": 256}
+
+
+def _init_and_run(model, x, **kwargs):
+    variables = model.init(jax.random.PRNGKey(0), x, **kwargs)
+    out = model.apply(variables, x, **kwargs)
+    return variables, out
+
+
+class TestPointNetVLAD:
+    def test_forward_shape(self, rng):
+        x = jnp.asarray(rng.rand(3, 256, 3), jnp.float32)
+        model = get_model("pointnet_vlad", PNV_PARAM)
+        _, out = _init_and_run(model, x)
+        assert out.shape == (3, 256)
+        assert bool(jnp.isfinite(out).all())
+
+    def test_accepts_b1n3_layout(self, rng):
+        x = jnp.asarray(rng.rand(2, 1, 256, 3), jnp.float32)
+        model = get_model("pointnet_vlad", PNV_PARAM)
+        _, out = _init_and_run(model, x)
+        assert out.shape == (2, 256)
+
+    def test_train_mode_updates_batch_stats(self, rng):
+        x = jnp.asarray(rng.rand(2, 256, 3), jnp.float32)
+        model = get_model("pointnet_vlad", PNV_PARAM)
+        variables = model.init(jax.random.PRNGKey(0), x)
+        out, mutated = model.apply(
+            variables, x, train=True, mutable=["batch_stats"]
+        )
+        assert "batch_stats" in mutated
+        leaves_before = jax.tree_util.tree_leaves(variables["batch_stats"])
+        leaves_after = jax.tree_util.tree_leaves(mutated["batch_stats"])
+        changed = any(
+            not np.allclose(np.asarray(a), np.asarray(b))
+            for a, b in zip(leaves_before, leaves_after)
+        )
+        assert changed
+
+
+class TestPPTNet:
+    @pytest.mark.parametrize("model_type", ["pptnet", "pptnet_l2_norm"])
+    def test_forward(self, rng, model_type):
+        x = jnp.asarray(rng.rand(2, 256, 3), jnp.float32)
+        model = get_model(model_type, PPT_PARAM)
+        _, out = _init_and_run(model, x)
+        assert out.global_desc.shape == (2, 256)
+        shapes = [f.shape for f in out.fp_features]
+        assert shapes == [(2, 16, 256), (2, 32, 256), (2, 64, 256), (2, 256, 256)]
+        if model_type == "pptnet_l2_norm":
+            norms = jnp.linalg.norm(out.global_desc, axis=-1)
+            np.testing.assert_allclose(np.asarray(norms), 1.0, atol=1e-4)
+
+    def test_center_idx_provenance_in_range(self, rng):
+        x = jnp.asarray(rng.rand(2, 256, 3), jnp.float32)
+        model = get_model("pptnet", PPT_PARAM)
+        _, out = _init_and_run(model, x)
+        for lvl, c in enumerate(out.center_idx_origin):
+            arr = np.asarray(c)
+            assert arr.min() >= 0 and arr.max() < 256, lvl
+
+
+class TestPatchAugNet:
+    def test_forward_no_patches(self, rng):
+        x = jnp.asarray(rng.rand(2, 256, 3), jnp.float32)
+        model = get_model("patch_aug_net", PATCH_AUG_PARAM)
+        _, out = _init_and_run(model, x)
+        assert out.global_desc.shape == (2, 256)
+        assert out.patch_data is None
+
+    def test_forward_with_patches(self, rng):
+        x = jnp.asarray(rng.rand(2, 256, 3), jnp.float32)
+        model = get_model("patch_aug_net", PATCH_AUG_PARAM)
+        _, out = _init_and_run(model, x, with_patches=True)
+        pd = out.patch_data
+        assert pd.center_indices.shape == (2, 64)
+        assert pd.origin_patches.shape == (2, 64, 10, 3)
+        assert pd.patch_features.shape == (2, 64, 256)
+        assert pd.reconstructed_patches.shape == (2, 64, 10, 3)
+        # patch features are L2-normalised (use_l2_norm=True path)
+        norms = jnp.linalg.norm(pd.patch_features, axis=-1)
+        np.testing.assert_allclose(np.asarray(norms), 1.0, atol=1e-4)
+        # origin patches contain raw input coordinates
+        xs = np.asarray(x)
+        ops_ = np.asarray(pd.origin_patches)
+        sidx = np.asarray(out.sample_idx_origin[0])
+        np.testing.assert_allclose(ops_[0, 5], xs[0][sidx[0, 5]], atol=1e-6)
+
+    @pytest.mark.parametrize("agg_type", [0, 1, 2, 3, 4, 5])
+    def test_all_aggregation_types(self, rng, agg_type):
+        x = jnp.asarray(rng.rand(2, 256, 3), jnp.float32)
+        param = dict(PATCH_AUG_PARAM, AGGREGATION_TYPE=agg_type)
+        model = get_model("patch_aug_net", param)
+        _, out = _init_and_run(model, x)
+        assert out.global_desc.shape == (2, 256)
+        assert bool(jnp.isfinite(out.global_desc).all())
+
+    def test_jit_and_determinism(self, rng):
+        x = jnp.asarray(rng.rand(2, 256, 3), jnp.float32)
+        model = get_model("patch_aug_net", PATCH_AUG_PARAM)
+        variables = model.init(jax.random.PRNGKey(0), x)
+        f = jax.jit(lambda v, a: model.apply(v, a).global_desc)
+        o1, o2 = f(variables, x), f(variables, x)
+        np.testing.assert_array_equal(np.asarray(o1), np.asarray(o2))
+
+    def test_grad_flows(self, rng):
+        x = jnp.asarray(rng.rand(2, 256, 3), jnp.float32)
+        model = get_model("patch_aug_net", PATCH_AUG_PARAM)
+        variables = model.init(jax.random.PRNGKey(0), x)
+
+        def loss(params):
+            out = model.apply({**variables, "params": params}, x)
+            return jnp.sum(out.global_desc ** 2)
+
+        g = jax.grad(loss)(variables["params"])
+        total = sum(float(jnp.abs(l).sum()) for l in jax.tree_util.tree_leaves(g))
+        assert np.isfinite(total) and total > 0
