@@ -1,0 +1,127 @@
+#!/usr/bin/env python
+"""Evaluation CLI.
+
+Mirrors /root/reference/place_recognition/evaluate.py: flags
+``--model_type --weight --dataset --exp_dir``, model_type -> config
+resolution (evaluate.py:31-47), checkpoint load, then the run()
+pipeline (:167-237): whole-database descriptor extraction (timed),
+top-k feature-space dump (top_k=300), per-trip-pair recall/precision
+aggregation and logging.
+
+Usage:
+  python evaluate.py --model_type patch_aug_net --weight exp/.../train_epoch_29_end \
+      --dataset oxford
+  python evaluate.py --model_type patch_aug_net --dataset synthetic   # random init smoke
+"""
+import argparse
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+CONFIG_TABLE = {
+    "patch_aug_net": "configs/patch_aug_net.yaml",
+    "pptnet": "configs/pptnet_origin.yaml",
+    "pptnet_l2_norm": "configs/pptnet_origin.yaml",
+    "pointnet_vlad": "configs/pointnet_vlad.yaml",
+    "minkloc3dv2": "configs/minkloc3dv2.yaml",
+}
+
+
+def get_args():
+    p = argparse.ArgumentParser(description="Place Recognition Evaluation (TPU)")
+    p.add_argument("--model_type", type=str, default="patch_aug_net",
+                   choices=sorted(CONFIG_TABLE))
+    p.add_argument("--weight", type=str, default=None, help="checkpoint path")
+    p.add_argument("--dataset", type=str, default="oxford")
+    p.add_argument("--exp_dir", type=str, default="exp")
+    p.add_argument("--batch_size", type=int, default=100)
+    p.add_argument("--top_k", type=int, default=300, help="feature-space dump size")
+    p.add_argument("--save_top_k", action="store_true",
+                   help="dump top-k feature-space neighbours for reranking")
+    p.add_argument("--platform", type=str, default=None,
+                   help="force jax platform (e.g. cpu)")
+    args = p.parse_args()
+    if args.platform:
+        import jax
+
+        jax.config.update("jax_platforms", args.platform)
+    return args
+
+
+def main():
+    args = get_args()
+    import yaml
+
+    cfg = yaml.safe_load(open(CONFIG_TABLE[args.model_type]))
+    cfg["model_type"] = args.model_type
+    cfg["dataset"] = args.dataset
+
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+
+    from patchaugnet_tpu import data, train
+    from patchaugnet_tpu.models import get_model
+    from patchaugnet_tpu.utils import get_logger
+
+    logger = get_logger(os.path.join(args.exp_dir, args.model_type, "eval"))
+    logger.info(f"devices: {jax.devices()}")
+
+    test_ds = data.PlaceRecognitionDataset(
+        cfg["dataset"], for_training=False,
+        num_pos=cfg.get("EVAL_POSITIVES_PER_QUERY", 4),
+        num_neg=cfg.get("EVAL_NEGATIVES_PER_QUERY", 10),
+    )
+    logger.info(f"test records: {len(test_ds)}, trips: {test_ds.scene.trip_names}")
+
+    model = get_model(args.model_type, cfg)
+    use_patches = args.model_type == "patch_aug_net"
+    n_points = cfg["NUM_POINTS"] if cfg["dataset"] != "synthetic" else test_ds.scene.num_points
+    example = jnp.zeros((args.batch_size, n_points, 3))
+    state = train.create_train_state(
+        model, jax.random.PRNGKey(cfg.get("MANUAL_SEED", 123)), example, cfg,
+        init_kwargs={"with_patches": False} if use_patches else None,
+    )
+    if args.weight:
+        # accepts orbax dirs (this framework) and torch .pth via the
+        # compat loader (reference checkpoints)
+        if args.weight.endswith(".pth"):
+            from patchaugnet_tpu.compat import load_torch_checkpoint
+
+            variables = load_torch_checkpoint(args.weight, args.model_type, cfg, state.variables)
+            state = state.replace(
+                params=variables["params"], batch_stats=variables["batch_stats"]
+            )
+        else:
+            state, _ = train.restore_checkpoint(args.weight, state)
+        logger.info(f"loaded weights: {args.weight}")
+    else:
+        logger.info("no --weight given: evaluating a randomly initialised model")
+
+    forward = train.build_forward_fn(model, cfg)
+    out = train.evaluate(
+        state.variables, forward, test_ds,
+        top_k=25, batch_size=args.batch_size, logger=logger,
+    )
+    if out.get("desc_time"):
+        logger.info(
+            f"run time: {out['desc_time']['mean_ms']:.2f} +- "
+            f"{out['desc_time']['std_ms']:.2f} ms per cloud"
+        )
+    if args.save_top_k:
+        top = test_ds.find_and_save_top(top_k=args.top_k, space_type="feat")
+        import pickle
+
+        os.makedirs(args.exp_dir, exist_ok=True)
+        path = os.path.join(
+            args.exp_dir, f"top_k_feat_{args.model_type}_{args.dataset}.pickle"
+        )
+        with open(path, "wb") as f:
+            pickle.dump(top, f)
+        logger.info(f"saved top-k dump: {path}")
+    return out
+
+
+if __name__ == "__main__":
+    main()

@@ -119,6 +119,16 @@ class SceneDataset:
             s += n
         return -1, -1
 
+    def _reset(self) -> None:
+        self.trip_names = []
+        self.records = pd.DataFrame(columns=["file", "northing", "easting"])
+        self.records_size_list = []
+        self.valid_indices_list = []
+        self.tuples = {}
+        self.global_descs = None
+        self.hard_negative_indices = {}
+        self._clouds = None
+
     # ----------------------------------------------------------- create
     def create(self, max_neg: int = 10000, save: bool = True) -> None:
         """Build records + tuples from trip CSVs (reference create())."""
@@ -126,6 +136,7 @@ class SceneDataset:
 
         from ..utils.timestamps import timestamp2str
 
+        self._reset()
         cfg = self.data_cfg
         trip_dirs = sorted(
             d
@@ -212,6 +223,7 @@ class SceneDataset:
         negatives beyond ``search_radius_neg``."""
         from sklearn.neighbors import KDTree
 
+        self._reset()
         num_points = num_points or self.num_points
         rng = np.random.RandomState(seed)
         self.trip_names = [f"trip_{i}" for i in range(n_trips)]

@@ -1,0 +1,110 @@
+"""Device-mesh data/model-parallel layer.
+
+The reference's only multi-device strategy is single-node
+``nn.DataParallel`` replication (train_place_recognition.py:546-548,
+evaluate.py:264-266) — gather/scatter through GPU0, no DDP, no
+collectives. The TPU-native design: a ``jax.sharding.Mesh`` over the
+slice; the tuple-batch axis is sharded over the ``data`` axis and the
+SAME global program runs under pjit/GSPMD — XLA inserts the gradient
+all-reduce (psum over ICI), the BatchNorm statistics stay *global*
+(bit-matching the single-chip run, which DataParallel never achieved),
+and descriptor extraction shards the record axis embarrassingly.
+
+Works identically on a virtual CPU mesh
+(``--xla_force_host_platform_device_count=N``) for testing without
+hardware (SURVEY.md §4).
+"""
+from __future__ import annotations
+
+from functools import partial
+from typing import Any, Callable, Dict, Optional, Sequence
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..train.state import TrainState
+from ..train.step import make_loss_fn, _global_desc
+
+
+def make_mesh(
+    num_devices: Optional[int] = None, axis_name: str = "data"
+) -> Mesh:
+    """1-D data-parallel mesh over the first ``num_devices`` devices."""
+    devices = jax.devices()
+    if num_devices is not None:
+        devices = devices[:num_devices]
+    return Mesh(np.array(devices), (axis_name,))
+
+
+def replicated(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def batch_sharded(mesh: Mesh, axis_name: str = "data") -> NamedSharding:
+    return NamedSharding(mesh, P(axis_name))
+
+
+def shard_batch(mesh: Mesh, arr, axis_name: str = "data"):
+    """Place a host array with its leading axis split over the mesh."""
+    return jax.device_put(arr, batch_sharded(mesh, axis_name))
+
+
+def build_parallel_train_step(
+    model, cfg: Dict[str, Any], mesh: Mesh, axis_name: str = "data"
+) -> Callable:
+    """pjit train step: params/opt replicated, tuple-batch axis sharded.
+
+    The correspondence tables index across the whole flattened batch, so
+    they stay replicated; GSPMD turns the cross-shard patch gathers into
+    collectives automatically.
+    """
+    loss_fn = make_loss_fn(model, cfg)
+    rep = replicated(mesh)
+    shard = batch_sharded(mesh, axis_name)
+
+    def step(state: TrainState, clouds, corr, cloud_mask):
+        grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
+        (_, (metrics, new_bs)), grads = grad_fn(
+            state.params, state.batch_stats, clouds, corr, cloud_mask
+        )
+        nonzero = metrics["total"] > 1e-10
+        new_state = state.apply_gradients(
+            jax.tree_util.tree_map(lambda g: jnp.where(nonzero, g, 0.0), grads),
+            new_bs,
+        )
+        return new_state, metrics
+
+    return jax.jit(
+        step,
+        in_shardings=(rep, shard, rep, shard),
+        out_shardings=(rep, rep),
+        donate_argnums=(0,),
+    )
+
+
+def build_parallel_forward(
+    model, mesh: Mesh, axis_name: str = "data"
+) -> Callable:
+    """Sharded descriptor extraction: records axis split over the mesh,
+    descriptors gathered back replicated (the eval path of SURVEY §5.8)."""
+    rep = replicated(mesh)
+    shard = batch_sharded(mesh, axis_name)
+
+    def forward(variables, clouds):
+        out = model.apply(variables, clouds, train=False)
+        return _global_desc(out)
+
+    return jax.jit(forward, in_shardings=(rep, shard), out_shardings=rep)
+
+
+def pad_to_multiple(arr: np.ndarray, multiple: int):
+    """Pad the leading axis to a multiple (sharding needs even splits).
+    Returns (padded, original_length)."""
+    n = arr.shape[0]
+    rem = (-n) % multiple
+    if rem == 0:
+        return arr, n
+    pad = np.repeat(arr[-1:], rem, axis=0)
+    return np.concatenate([arr, pad]), n

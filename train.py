@@ -1,0 +1,163 @@
+#!/usr/bin/env python
+"""Training CLI.
+
+Mirrors the reference driver
+(/root/reference/place_recognition/train_place_recognition.py): flags
+``--config --dataset --resume --eval``, YAML config with the same keys,
+per-epoch checkpoints, optional epoch eval. Extra TPU-era flags:
+``--devices N`` shards the tuple-batch over a data-parallel mesh,
+``--max-batches`` bounds an epoch for smoke runs.
+
+Usage:
+  python train.py --config configs/patch_aug_net.yaml --dataset oxford
+  python train.py --config configs/patch_aug_net.yaml --dataset synthetic \
+      --max-batches 5 --epochs 1        # no data on disk needed
+"""
+import argparse
+import os
+import random
+import sys
+from datetime import datetime
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+
+def get_args():
+    p = argparse.ArgumentParser(description="Point Cloud Place Recognition (TPU)")
+    p.add_argument("--config", type=str, default="configs/patch_aug_net.yaml")
+    p.add_argument(
+        "--dataset", type=str, default="oxford",
+        help="oxford | university | residential | business | hankou | campus |"
+             " sejong | dcc_* | kitti360_* | synthetic",
+    )
+    p.add_argument("--resume", type=str, default=None)
+    p.add_argument("--eval", action="store_true", help="evaluation only")
+    p.add_argument("--devices", type=int, default=None,
+                   help="data-parallel mesh size (default: all devices)")
+    p.add_argument("--epochs", type=int, default=None, help="override MAX_EPOCH")
+    p.add_argument("--max-batches", type=int, default=None,
+                   help="cap batches per epoch (smoke runs)")
+    p.add_argument("--platform", type=str, default=None,
+                   help="force jax platform (e.g. cpu); the axon TPU "
+                        "plugin ignores JAX_PLATFORMS so this goes "
+                        "through jax.config")
+    args = p.parse_args()
+    if args.platform:
+        import jax
+
+        jax.config.update("jax_platforms", args.platform)
+
+    import yaml
+
+    cfg = yaml.safe_load(open(args.config))
+    cfg["dataset"] = args.dataset
+    cfg["resume"] = args.resume
+    cfg["eval"] = args.eval
+    if args.epochs is not None:
+        cfg["MAX_EPOCH"] = args.epochs
+    cfg["event_dir"] = os.path.join(
+        cfg["EXP_DIR"], cfg["model_type"], "events",
+        datetime.now().strftime("%Y-%m-%dT%H-%M-%S"),
+    )
+    cfg["save_path"] = os.path.join(cfg["EXP_DIR"], cfg["model_type"], "saved_model")
+    os.makedirs(cfg["save_path"], exist_ok=True)
+    return cfg, args
+
+
+def main():
+    cfg, args = get_args()
+
+    import numpy as np
+
+    random.seed(cfg.get("MANUAL_SEED", 123))
+    np.random.seed(cfg.get("MANUAL_SEED", 123))
+
+    import jax
+    import jax.numpy as jnp
+
+    from patchaugnet_tpu import data, parallel, train
+    from patchaugnet_tpu.models import get_model
+    from patchaugnet_tpu.utils import get_logger, MetricsWriter
+
+    logger = get_logger(cfg["event_dir"])
+    logger.info(f"devices: {jax.devices()}")
+    logger.info(cfg)
+    writer = MetricsWriter(cfg["event_dir"])
+
+    model_type = cfg["model_type"]
+    use_patches = model_type == "patch_aug_net" and (
+        cfg.get("use_patch_recon") or cfg.get("use_patch_feature_contrast")
+    )
+
+    train_ds = data.PlaceRecognitionDataset(
+        cfg["dataset"], for_training=True,
+        num_pos=cfg["TRAIN_POSITIVES_PER_QUERY"],
+        num_neg=cfg["TRAIN_NEGATIVES_PER_QUERY"],
+        load_overlap_indices=use_patches,
+    )
+    test_ds = data.PlaceRecognitionDataset(
+        cfg["dataset"], for_training=False,
+        num_pos=cfg["TRAIN_POSITIVES_PER_QUERY"],
+        num_neg=cfg["TRAIN_NEGATIVES_PER_QUERY"],
+    )
+    logger.info(
+        f"train records: {len(train_ds)}, test records: {len(test_ds)}, "
+        f"trips: {train_ds.scene.trip_names}"
+    )
+
+    model = get_model(model_type, cfg)
+    tuple_size = 1 + cfg["TRAIN_POSITIVES_PER_QUERY"] + cfg["TRAIN_NEGATIVES_PER_QUERY"] + 1
+    n_points = cfg["NUM_POINTS"] if cfg["dataset"] != "synthetic" else train_ds.scene.num_points
+    example = jnp.zeros((cfg["TRAIN_BATCH_SIZE"] * tuple_size, n_points, 3))
+    steps_per_epoch = max(len(train_ds) // cfg["TRAIN_BATCH_SIZE"], 1)
+    state = train.create_train_state(
+        model, jax.random.PRNGKey(cfg.get("MANUAL_SEED", 123)), example, cfg,
+        steps_per_epoch=steps_per_epoch,
+        init_kwargs={"with_patches": True} if use_patches else None,
+    )
+    n_params = sum(x.size for x in jax.tree_util.tree_leaves(state.params))
+    logger.info(f"Parameters: {n_params:,}")
+
+    starting_epoch = 0
+    if cfg["resume"]:
+        path = cfg["resume"]
+        if not os.path.exists(path):
+            path = os.path.join(cfg["save_path"], cfg["resume"])
+        state, starting_epoch = train.restore_checkpoint(path, state)
+        logger.info(f"Resumed from {path} at epoch {starting_epoch}")
+
+    n_dev = args.devices or len(jax.devices())
+    if n_dev > 1:
+        mesh = parallel.make_mesh(n_dev)
+        step = parallel.build_parallel_train_step(model, cfg, mesh)
+        logger.info(f"data-parallel mesh over {n_dev} devices")
+    else:
+        step = train.build_train_step(model, cfg)
+    forward = train.build_forward_fn(model, cfg)
+    center_fn = train.build_center_fn(cfg["SAMPLING"][0]) if use_patches else None
+
+    if cfg["eval"]:
+        train.evaluate(
+            state.variables, forward, test_ds, logger=logger, writer=writer,
+            epoch=starting_epoch,
+        )
+        writer.close()
+        return
+
+    total_iterations = 0
+    for epoch in range(starting_epoch, cfg["MAX_EPOCH"]):
+        logger.info(f"**** EPOCH {epoch:03d} ****")
+        summary = train.train_one_epoch(
+            state, step, train_ds, cfg, epoch,
+            forward_fn=forward, center_fn=center_fn, writer=writer,
+            logger=logger, total_iterations=total_iterations,
+            max_batches=args.max_batches, save_dir=cfg["save_path"],
+        )
+        state = summary.pop("state")
+        total_iterations = summary["total_iterations"]
+        logger.info(f"epoch {epoch}: {summary}")
+    writer.close()
+
+
+if __name__ == "__main__":
+    main()
