@@ -1,0 +1,350 @@
+"""MinkLoc3Dv2 — dense-voxel TPU re-architecture.
+
+The reference builds MinkLoc3Dv2 on MinkowskiEngine sparse convolutions
+(place_recognition/Minkloc3D_V2/models/minkloc.py:12-39, minkfpn.py:9-93)
+which has no TPU analogue: sparse gather-scatter convs are hostile to
+the MXU. The idiomatic TPU route (SURVEY.md §7.7) is a **dense voxel
+grid**: quantize -> scatter occupancy into a fixed ``G^3`` grid ->
+regular ``conv3d`` FPN (XLA tiles dense convs onto the MXU) -> masked
+global pooling over occupied voxels. Numerical parity with sparse
+convolution is not achievable; the target is metric parity under the
+same config schema.
+
+Preserved reference semantics:
+  - FPN topology: conv0 (k=5) -> ``len(layers)`` stride-2 bottom-up
+    levels with residual blocks -> ``num_top_down`` transposed-conv
+    top-down steps with 1x1 lateral adds (minkfpn.py:66-93);
+  - blocks: BasicBlock / Bottleneck / ECABasicBlock with the ECA
+    channel-attention layer (layers/eca_block.py:12-72);
+  - poolings: MAC / SPoC / GeM / netvlad(gc) (layers/pooling.py:11-85),
+    here masked to occupied voxels (the sparse global poolings only see
+    stored points);
+  - quantizers: Cartesian + Polar (misc/quantization.py:14-50) mapped
+    onto fixed dense grids;
+  - config: the same INI schema via :mod:`minkloc_config`.
+
+Dense-grid divergences (documented):
+  - the grid resolution is capped (default 48^3); the reference's
+    0.01-step cartesian quantization would need a 200^3 dense grid;
+  - BatchNorm normalises over all voxels, not only occupied ones.
+"""
+from __future__ import annotations
+
+import math
+from typing import Any, Dict, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from ..nn import NetVLADLoupe, batch_norm, l2_normalize
+
+
+# ------------------------------------------------------------ voxelize
+def cartesian_voxelize(
+    points: jax.Array, grid_size: int, extent: float = 1.0
+) -> Tuple[jax.Array, jax.Array]:
+    """Scatter ``(B, N, 3)`` points in ``[-extent, extent]`` into a dense
+    occupancy grid.
+
+    Returns ``(grid (B, G, G, G, 1) occupancy, mask (B, G, G, G) bool)``.
+    """
+    b, n, _ = points.shape
+    g = grid_size
+    ijk = jnp.clip(
+        jnp.floor((points + extent) / (2 * extent) * g).astype(jnp.int32), 0, g - 1
+    )
+    flat = (ijk[..., 0] * g + ijk[..., 1]) * g + ijk[..., 2]       # (B, N)
+    batch_idx = jnp.broadcast_to(jnp.arange(b)[:, None], (b, n))
+    occ = jnp.zeros((b, g * g * g), jnp.float32).at[batch_idx, flat].max(1.0)
+    grid = occ.reshape(b, g, g, g, 1)
+    return grid, occ.reshape(b, g, g, g) > 0
+
+
+def polar_voxelize(
+    points: jax.Array,
+    grid_shape: Tuple[int, int, int],
+    max_dist: float = 1.0,
+    z_extent: float = 1.0,
+) -> Tuple[jax.Array, jax.Array]:
+    """Polar quantization (theta, ring, z) onto a dense grid
+    (misc/quantization.py:14-38 mapped to fixed bins)."""
+    b, n, _ = points.shape
+    gt, gr, gz = grid_shape
+    theta = jnp.arctan2(points[..., 1], points[..., 0]) / (2 * jnp.pi) + 0.5
+    dist = jnp.sqrt(points[..., 0] ** 2 + points[..., 1] ** 2) / max_dist
+    z = (points[..., 2] + z_extent) / (2 * z_extent)
+    ti = jnp.clip((theta * gt).astype(jnp.int32), 0, gt - 1)
+    ri = jnp.clip((dist * gr).astype(jnp.int32), 0, gr - 1)
+    zi = jnp.clip((z * gz).astype(jnp.int32), 0, gz - 1)
+    flat = (ti * gr + ri) * gz + zi
+    batch_idx = jnp.broadcast_to(jnp.arange(b)[:, None], (b, n))
+    occ = jnp.zeros((b, gt * gr * gz), jnp.float32).at[batch_idx, flat].max(1.0)
+    grid = occ.reshape(b, gt, gr, gz, 1)
+    return grid, occ.reshape(b, gt, gr, gz) > 0
+
+
+# ------------------------------------------------------------- blocks
+class ECALayer(nn.Module):
+    """Efficient channel attention (eca_block.py:12-35): global average
+    over occupied voxels, 1-D conv across channels, sigmoid gate."""
+
+    channels: int
+    gamma: int = 2
+    b: int = 1
+
+    @nn.compact
+    def __call__(self, x: jax.Array, mask: jax.Array) -> jax.Array:
+        t = int(abs((math.log2(self.channels) + self.b) / self.gamma))
+        k = t if t % 2 else t + 1
+        m = mask[..., None].astype(x.dtype)
+        y = jnp.sum(x * m, axis=(1, 2, 3)) / jnp.maximum(
+            jnp.sum(m, axis=(1, 2, 3)), 1.0
+        )                                                       # (B, C)
+        y = nn.Conv(1, (k,), padding="SAME", use_bias=False, name="conv")(
+            y[..., None]
+        )[..., 0]
+        gate = jax.nn.sigmoid(y)
+        return x * gate[:, None, None, None, :]
+
+
+class _Conv3dBN(nn.Module):
+    features: int
+    kernel: int = 3
+    stride: int = 1
+
+    @nn.compact
+    def __call__(self, x, *, train: bool = False):
+        x = nn.Conv(
+            self.features,
+            (self.kernel,) * 3,
+            strides=(self.stride,) * 3,
+            padding="SAME",
+            use_bias=False,
+            name="conv",
+        )(x)
+        return batch_norm(name="bn")(x, use_running_average=not train)
+
+
+class BasicBlock3d(nn.Module):
+    """Dense analogue of the Minkowski ResNet BasicBlock; ``use_eca``
+    adds the ECA gate after norm2 (ECABasicBlock, eca_block.py:38-72)."""
+
+    planes: int
+    use_eca: bool = False
+
+    @nn.compact
+    def __call__(self, x, mask, *, train: bool = False):
+        residual = x
+        out = _Conv3dBN(self.planes, name="conv1")(x, train=train)
+        out = nn.relu(out)
+        out = _Conv3dBN(self.planes, name="conv2")(out, train=train)
+        if self.use_eca:
+            out = ECALayer(self.planes, name="eca")(out, mask)
+        if residual.shape[-1] != self.planes:
+            residual = _Conv3dBN(self.planes, kernel=1, name="downsample")(
+                x, train=train
+            )
+        return nn.relu(out + residual)
+
+
+class Bottleneck3d(nn.Module):
+    planes: int
+    expansion: int = 4
+
+    @nn.compact
+    def __call__(self, x, mask, *, train: bool = False):
+        residual = x
+        out = nn.relu(_Conv3dBN(self.planes, kernel=1, name="conv1")(x, train=train))
+        out = nn.relu(_Conv3dBN(self.planes, name="conv2")(out, train=train))
+        out = _Conv3dBN(self.planes * self.expansion, kernel=1, name="conv3")(
+            out, train=train
+        )
+        if residual.shape[-1] != self.planes * self.expansion:
+            residual = _Conv3dBN(
+                self.planes * self.expansion, kernel=1, name="downsample"
+            )(x, train=train)
+        return nn.relu(out + residual)
+
+
+# ---------------------------------------------------------------- FPN
+class DenseVoxelFPN(nn.Module):
+    """Dense conv3d FPN with MinkFPN's exact topology (minkfpn.py:9-93)."""
+
+    out_channels: int
+    planes: Sequence[int] = (32, 64, 64)
+    layers: Sequence[int] = (1, 1, 1)
+    num_top_down: int = 1
+    conv0_kernel_size: int = 5
+    block: str = "ECABasicBlock"
+
+    @nn.compact
+    def __call__(self, grid, mask, *, train: bool = False):
+        use_eca = self.block == "ECABasicBlock"
+        bottleneck = self.block == "Bottleneck"
+        num_bottom_up = len(self.layers)
+        masks = [mask]
+        for _ in range(num_bottom_up):
+            m = masks[-1]
+            masks.append(
+                nn.max_pool(
+                    m[..., None].astype(jnp.float32), (2, 2, 2), (2, 2, 2)
+                )[..., 0]
+                > 0
+            )
+
+        x = _Conv3dBN(self.planes[0], kernel=self.conv0_kernel_size, name="conv0")(
+            grid, train=train
+        )
+        x = nn.relu(x)
+        feature_maps = []
+        fm_masks = []
+        if self.num_top_down == num_bottom_up:
+            feature_maps.append(x)
+            fm_masks.append(masks[0])
+
+        for ndx, (plane, n_layers) in enumerate(zip(self.planes, self.layers)):
+            # stride-2 downsample keeps current channel count, then blocks
+            # change it (minkfpn.py:44-47, 75-82)
+            x = nn.relu(
+                _Conv3dBN(x.shape[-1], kernel=2, stride=2, name=f"down{ndx}")(
+                    x, train=train
+                )
+            )
+            for li in range(n_layers):
+                if bottleneck:
+                    x = Bottleneck3d(plane, name=f"block{ndx}_{li}")(
+                        x, masks[ndx + 1], train=train
+                    )
+                else:
+                    x = BasicBlock3d(plane, use_eca=use_eca, name=f"block{ndx}_{li}")(
+                        x, masks[ndx + 1], train=train
+                    )
+            if num_bottom_up - 1 - self.num_top_down <= ndx < num_bottom_up - 1:
+                feature_maps.append(x)
+                fm_masks.append(masks[ndx + 1])
+
+        x = nn.Conv(self.out_channels, (1, 1, 1), name="lateral0")(x)
+        for ndx in range(self.num_top_down):
+            x = nn.ConvTranspose(
+                self.out_channels, (2, 2, 2), strides=(2, 2, 2), name=f"tconv{ndx}"
+            )(x)
+            lateral = nn.Conv(
+                self.out_channels, (1, 1, 1), name=f"lateral{ndx + 1}"
+            )(feature_maps[-ndx - 1])
+            x = x + lateral
+        out_mask = masks[num_bottom_up - self.num_top_down]
+        return x, out_mask
+
+
+# ------------------------------------------------------------ pooling
+class MaskedPooling(nn.Module):
+    """MAC / SPoC / GeM / netvlad over occupied voxels
+    (layers/pooling.py:11-85; sparse global poolings see only stored
+    points — the mask reproduces that)."""
+
+    pool_method: str
+    in_dim: int
+    output_dim: int
+
+    @nn.compact
+    def __call__(self, x, mask, *, train: bool = False):
+        b = x.shape[0]
+        feats = x.reshape(b, -1, x.shape[-1])               # (B, V, C)
+        m = mask.reshape(b, -1, 1).astype(x.dtype)
+        count = jnp.maximum(jnp.sum(m, axis=1), 1.0)
+        if self.pool_method == "MAC":
+            neg = jnp.where(m > 0, feats, -jnp.inf)
+            out = jnp.max(neg, axis=1)
+            return jnp.where(jnp.isfinite(out), out, 0.0)
+        if self.pool_method == "SPoC":
+            return jnp.sum(feats * m, axis=1) / count
+        if self.pool_method == "GeM":
+            p = self.param("p", nn.initializers.constant(3.0), (1,))
+            eps = 1e-6
+            clamped = jnp.maximum(feats, eps) ** p
+            pooled = jnp.sum(clamped * m, axis=1) / count
+            return pooled ** (1.0 / p)
+        if self.pool_method in ("netvlad", "netvladgc"):
+            # zero-padded rows, like the reference pad_sequence
+            # (pooling.py:73-79)
+            return NetVLADLoupe(
+                feature_size=self.in_dim,
+                max_samples=feats.shape[1],
+                cluster_size=64,
+                output_dim=self.output_dim,
+                gating=self.pool_method == "netvladgc",
+                name="net_vlad",
+            )(feats * m, train=train)
+        raise NotImplementedError(self.pool_method)
+
+
+# -------------------------------------------------------------- model
+class MinkLocDense(nn.Module):
+    """``(B, N, 3) -> (B, output_dim)`` global descriptor."""
+
+    feature_size: int = 256
+    output_dim: int = 256
+    planes: Sequence[int] = (64, 128, 64, 32)
+    layers: Sequence[int] = (1, 1, 1, 1)
+    num_top_down: int = 2
+    conv0_kernel_size: int = 5
+    block: str = "ECABasicBlock"
+    pooling: str = "GeM"
+    coordinates: str = "cartesian"
+    grid_size: int = 48
+    polar_grid: Tuple[int, int, int] = (64, 32, 16)
+    normalize_embeddings: bool = False
+
+    @nn.compact
+    def __call__(self, points: jax.Array, *, train: bool = False) -> jax.Array:
+        if points.ndim == 4:
+            points = points.squeeze(1)
+        factor = 2 ** len(self.layers)
+        dims = (
+            (self.grid_size,) * 3 if self.coordinates == "cartesian" else self.polar_grid
+        )
+        assert all(d % factor == 0 for d in dims), (
+            f"grid dims {dims} must divide by 2^len(layers)={factor} for the FPN"
+        )
+        if self.coordinates == "cartesian":
+            grid, mask = cartesian_voxelize(points, self.grid_size)
+        else:
+            grid, mask = polar_voxelize(points, self.polar_grid)
+        feats, out_mask = DenseVoxelFPN(
+            out_channels=self.feature_size,
+            planes=self.planes,
+            layers=self.layers,
+            num_top_down=self.num_top_down,
+            conv0_kernel_size=self.conv0_kernel_size,
+            block=self.block,
+            name="backbone",
+        )(grid, mask, train=train)
+        pool_dim = (
+            self.feature_size
+            if self.pooling in ("MAC", "SPoC", "GeM")
+            else self.feature_size
+        )
+        out = MaskedPooling(
+            self.pooling, pool_dim, self.output_dim, name="pooling"
+        )(feats, out_mask, train=train)
+        if self.normalize_embeddings:
+            out = l2_normalize(out, axis=-1)
+        return out
+
+
+def build_minkloc(param: Dict[str, Any]) -> MinkLocDense:
+    """Build from a flat config dict (YAML keys or ModelParams fields)."""
+    return MinkLocDense(
+        feature_size=param.get("feature_size", 256),
+        output_dim=param.get("output_dim", 256),
+        planes=tuple(param.get("planes", (64, 128, 64, 32))),
+        layers=tuple(param.get("layers", (1, 1, 1, 1))),
+        num_top_down=param.get("num_top_down", 2),
+        conv0_kernel_size=param.get("conv0_kernel_size", 5),
+        block=param.get("block", "ECABasicBlock"),
+        pooling=param.get("pooling", "GeM"),
+        coordinates=param.get("coordinates", "cartesian"),
+        grid_size=param.get("grid_size", 48),
+        normalize_embeddings=param.get("normalize_embeddings", False),
+    )

@@ -1,0 +1,133 @@
+"""MinkLoc3Dv2 dense-voxel branch tests."""
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+from patchaugnet_tpu.models import get_model
+from patchaugnet_tpu.models.minkloc3dv2 import (
+    MinkLocDense,
+    cartesian_voxelize,
+    polar_voxelize,
+    build_minkloc,
+)
+from patchaugnet_tpu.models.minkloc_config import ModelParams, TrainingParams
+
+PARAM = {
+    "feature_size": 64,
+    "output_dim": 64,
+    "planes": [16, 32, 16, 8],
+    "layers": [1, 1, 1, 1],
+    "num_top_down": 2,
+    "conv0_kernel_size": 5,
+    "block": "ECABasicBlock",
+    "pooling": "GeM",
+    "coordinates": "cartesian",
+    "grid_size": 16,
+    "normalize_embeddings": False,
+}
+
+
+class TestVoxelize:
+    def test_cartesian_occupancy(self, rng):
+        pts = jnp.asarray(rng.rand(2, 100, 3).astype(np.float32) * 2 - 1)
+        grid, mask = cartesian_voxelize(pts, 8)
+        assert grid.shape == (2, 8, 8, 8, 1)
+        occ = int(mask.sum())
+        assert 0 < occ <= 200
+        # a point at the origin occupies the centre voxel
+        single = jnp.zeros((1, 1, 3))
+        g, m = cartesian_voxelize(single, 8)
+        assert bool(m[0, 4, 4, 4])
+        assert int(m.sum()) == 1
+
+    def test_polar_occupancy(self, rng):
+        pts = jnp.asarray(rng.rand(2, 100, 3).astype(np.float32) * 2 - 1)
+        grid, mask = polar_voxelize(pts, (16, 8, 8))
+        assert grid.shape == (2, 16, 8, 8, 1)
+        assert int(mask.sum()) > 0
+
+
+class TestMinkLocDense:
+    @pytest.mark.parametrize("pooling", ["GeM", "MAC", "SPoC", "netvlad", "netvladgc"])
+    def test_poolings(self, rng, pooling):
+        model = build_minkloc(dict(PARAM, pooling=pooling))
+        x = jnp.asarray(rng.rand(2, 128, 3).astype(np.float32) * 2 - 1)
+        v = model.init(jax.random.PRNGKey(0), x)
+        out = model.apply(v, x)
+        assert out.shape == (2, 64)
+        assert bool(jnp.isfinite(out).all())
+
+    @pytest.mark.parametrize("block", ["BasicBlock", "Bottleneck", "ECABasicBlock"])
+    def test_blocks(self, rng, block):
+        model = build_minkloc(dict(PARAM, block=block))
+        x = jnp.asarray(rng.rand(1, 64, 3).astype(np.float32) * 2 - 1)
+        v = model.init(jax.random.PRNGKey(0), x)
+        assert model.apply(v, x).shape == (1, 64)
+
+    def test_polar_coordinates(self, rng):
+        model = MinkLocDense(
+            feature_size=32, output_dim=32, planes=(8, 16, 8, 8),
+            layers=(1, 1, 1, 1), num_top_down=2, coordinates="polar",
+            polar_grid=(16, 16, 16), pooling="GeM",
+        )
+        x = jnp.asarray(rng.rand(1, 64, 3).astype(np.float32) * 2 - 1)
+        v = model.init(jax.random.PRNGKey(0), x)
+        assert model.apply(v, x).shape == (1, 32)
+
+    def test_normalize_embeddings(self, rng):
+        model = build_minkloc(dict(PARAM, normalize_embeddings=True))
+        x = jnp.asarray(rng.rand(2, 64, 3).astype(np.float32) * 2 - 1)
+        v = model.init(jax.random.PRNGKey(0), x)
+        out = model.apply(v, x)
+        np.testing.assert_allclose(
+            np.asarray(jnp.linalg.norm(out, axis=-1)), 1.0, atol=1e-4
+        )
+
+    def test_factory_and_grad(self, rng):
+        model = get_model("minkloc3dv2", PARAM)
+        x = jnp.asarray(rng.rand(2, 64, 3).astype(np.float32) * 2 - 1)
+        v = model.init(jax.random.PRNGKey(0), x)
+
+        def loss(params):
+            return jnp.sum(model.apply({**v, "params": params}, x) ** 2)
+
+        g = jax.grad(loss)(v["params"])
+        tot = sum(float(jnp.abs(l).sum()) for l in jax.tree_util.tree_leaves(g))
+        assert np.isfinite(tot) and tot > 0
+
+
+class TestINIConfig:
+    def test_model_params_roundtrip(self, tmp_path):
+        ini = tmp_path / "model.txt"
+        ini.write_text(
+            "[MODEL]\nmodel=MinkLoc\nplanes=64,128,64,32\nlayers=1,1,1,1\n"
+            "num_top_down=2\nconv0_kernel_size=5\nfeature_size=256\n"
+            "block=ECABasicBlock\npooling=GeM\ncoordinates=cartesian\n"
+            "quantization_step=0.01\nnormalize_embeddings=False\n"
+        )
+        mp = ModelParams.from_ini(str(ini))
+        assert mp.planes == (64, 128, 64, 32)
+        assert mp.block == "ECABasicBlock"
+        assert mp.quantization_step == 0.01
+        model = build_minkloc(dict(mp.as_dict(), grid_size=16))
+        assert model.planes == (64, 128, 64, 32)
+
+    def test_training_params(self, tmp_path):
+        model_ini = tmp_path / "model.txt"
+        model_ini.write_text(
+            "[MODEL]\nmodel=MinkLoc\ncoordinates=cartesian\nquantization_step=0.01\n"
+        )
+        train_ini = tmp_path / "train.txt"
+        train_ini.write_text(
+            "[DEFAULT]\ndataset_folder=/tmp\n[TRAIN]\nbatch_size=2048\n"
+            "batch_split_size=64\nlr=1e-3\nepochs=400\n"
+            "scheduler_milestones=250, 350\nweight_decay=1e-4\n"
+            "loss=TruncatedSmoothAP\ntau1=0.01\npositives_per_query=4\n"
+        )
+        tp = TrainingParams.from_ini(str(train_ini), str(model_ini))
+        assert tp.loss == "truncatedsmoothap"
+        assert tp.scheduler_milestones == [250, 350]
+        assert tp.positives_per_query == 4
+        assert tp.tau1 == 0.01
+        assert tp.model_params.coordinates == "cartesian"
