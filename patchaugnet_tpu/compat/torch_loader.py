@@ -3,27 +3,199 @@
 The reference saves ``{'epoch', 'iter', 'optimizer', 'state_dict_encoder'}``
 per epoch (train_place_recognition.py:172-189) and its eval loader also
 accepts bare state dicts (evaluate.py:150-158). This module maps those
-state-dict names onto this framework's parameter tree so users can bring
-trained reference weights across.
+state-dict names onto this framework's parameter/batch-stats trees so
+reference-trained weights transfer directly.
 
-Status: full name-mapping tables land with the parity work; the loader
-currently raises with a clear message for unmapped model types.
+Weight-layout conversions (torch -> flax channels-last):
+  - ``Conv2d(in, out, (1, 1))`` / ``Conv1d(in, out, 1)``: weight
+    ``(out, in, 1[, 1])`` -> Dense kernel ``(in, out)``;
+  - ``Conv2d(1, out, (1, 3))`` (coordinate-consuming convs, e.g.
+    PointNetVlad conv1/STN conv1): ``(out, 1, 1, 3)`` -> ``(3, out)``;
+  - ``Linear``: ``(out, in)`` -> ``(in, out)``;
+  - grouped ``Conv1d(C, C, 1, groups=g)``: ``(C, C/g, 1)`` ->
+    ``(g, C/g_in, C/g_out)`` block-diagonal kernel;
+  - BatchNorm: weight/bias -> scale/bias (params), running_mean/var ->
+    mean/var (batch_stats).
 """
 from __future__ import annotations
 
-from typing import Any, Dict
+from typing import Any, Callable, Dict, Optional, Tuple
+
+import numpy as np
+
+
+def _t_linear(w):
+    return np.ascontiguousarray(np.asarray(w).T)
+
+
+def _t_conv1x1(w):
+    w = np.asarray(w)
+    return np.ascontiguousarray(w.reshape(w.shape[0], w.shape[1]).T)
+
+
+def _t_conv_coords(w):
+    # (out, 1, 1, k) -> (k, out)
+    w = np.asarray(w)
+    return np.ascontiguousarray(w.reshape(w.shape[0], -1).T)
+
+
+def _t_grouped_conv(w, gp: int):
+    # (C_out, C_in/g, 1) -> (g, C_in/g, C_out/g): kernel[g, i, o] = w[g*cg+o, i, 0]
+    w = np.asarray(w)[..., 0]                              # (C, cg)
+    c, cg = w.shape
+    return np.ascontiguousarray(
+        w.reshape(gp, c // gp, cg).transpose(0, 2, 1)      # (g, cg_in, cg_out)
+    )
+
+
+def _identity(w):
+    return np.asarray(w)
+
+
+class StateDict:
+    """Thin consuming view over a torch state dict (tracks unused keys)."""
+
+    def __init__(self, sd: Dict[str, Any]):
+        self.sd = {k: np.asarray(v) for k, v in sd.items()}
+        self.used = set()
+
+    def take(self, key: str, transform: Callable = _identity):
+        if key not in self.sd:
+            raise KeyError(f"torch state dict missing: {key}")
+        self.used.add(key)
+        return transform(self.sd[key])
+
+    def unused(self):
+        return sorted(set(self.sd) - self.used)
+
+
+def _bn(sd: StateDict, prefix: str):
+    """-> (params {scale, bias}, stats {mean, var})."""
+    return (
+        {"scale": sd.take(f"{prefix}.weight"), "bias": sd.take(f"{prefix}.bias")},
+        {"mean": sd.take(f"{prefix}.running_mean"), "var": sd.take(f"{prefix}.running_var")},
+    )
+
+
+def _stn(sd: StateDict, prefix: str, use_bn: bool):
+    """Reference STN3d (PointNetVlad.py:124-177) -> flax STN3D tree."""
+    p: Dict[str, Any] = {}
+    stats: Dict[str, Any] = {}
+    # conv1 consumes the coordinate axis ((out, ch, 1, ksize)); convs 2-3
+    # are 1x1
+    w1 = np.asarray(sd.take(f"{prefix}.conv1.weight", _identity))
+    if w1.shape[1] == 1:                                   # k==3 variant
+        kernel1 = w1.reshape(w1.shape[0], -1).T
+    else:                                                  # k==64: (out, in, 1, 1)
+        kernel1 = w1.reshape(w1.shape[0], w1.shape[1]).T
+    p["conv1"] = {"kernel": np.ascontiguousarray(kernel1),
+                  "bias": sd.take(f"{prefix}.conv1.bias")}
+    for i in (2, 3):
+        p[f"conv{i}"] = {
+            "kernel": sd.take(f"{prefix}.conv{i}.weight", _t_conv1x1),
+            "bias": sd.take(f"{prefix}.conv{i}.bias"),
+        }
+    for i in (1, 2, 3):
+        p[f"fc{i}"] = {
+            "kernel": sd.take(f"{prefix}.fc{i}.weight", _t_linear),
+            "bias": sd.take(f"{prefix}.fc{i}.bias"),
+        }
+    if use_bn:
+        for i, name in [(1, "conv1_bn"), (2, "conv2_bn"), (3, "conv3_bn"),
+                        (4, "fc1_bn"), (5, "fc2_bn")]:
+            p[name], stats[name] = _bn(sd, f"{prefix}.bn{i}")
+    return p, stats
+
+
+def _netvlad_loupe(sd: StateDict, prefix: str):
+    """Reference NetVLADLoupe (PointNetVlad.py:12-81) -> flax tree."""
+    p = {
+        "base": {
+            "cluster_weights": sd.take(f"{prefix}.cluster_weights"),
+            "cluster_weights2": sd.take(f"{prefix}.cluster_weights2"),
+        },
+        "hidden1_weights": sd.take(f"{prefix}.hidden1_weights"),
+    }
+    stats: Dict[str, Any] = {"base": {}}
+    p["base"]["bn1"], stats["base"]["bn1"] = _bn(sd, f"{prefix}.bn1")
+    p["bn2"], stats["bn2"] = _bn(sd, f"{prefix}.bn2")
+    if f"{prefix}.context_gating.gating_weights" in sd.sd:
+        g = {"gating_weights": sd.take(f"{prefix}.context_gating.gating_weights")}
+        gs = {}
+        g["bn1"], gs["bn1"] = _bn(sd, f"{prefix}.context_gating.bn1")
+        p["context_gating"] = g
+        stats["context_gating"] = gs
+    return p, stats
+
+
+def convert_pointnet_vlad(state_dict: Dict[str, Any]):
+    """Reference ``PointNetVlad`` state dict -> flax variables.
+
+    Covers the shipped configuration (feature_transform=True,
+    max_pool=False, use_bn conv stack, BN-free STNs).
+    """
+    sd = StateDict(state_dict)
+    params: Dict[str, Any] = {"point_net": {}, "net_vlad": {}}
+    stats: Dict[str, Any] = {"point_net": {}, "net_vlad": {}}
+
+    pn_p, pn_s = params["point_net"], stats["point_net"]
+    pn_p["stn"], _ = _stn(sd, "point_net.stn", use_bn=False)
+    pn_p["feature_trans"], _ = _stn(sd, "point_net.feature_trans", use_bn=False)
+    for i in range(1, 6):
+        w = np.asarray(sd.take(f"point_net.conv{i}.weight", _identity))
+        kernel = w.reshape(w.shape[0], -1).T if i == 1 else w.reshape(
+            w.shape[0], w.shape[1]
+        ).T
+        pn_p[f"conv{i}"] = {
+            "kernel": np.ascontiguousarray(kernel),
+            "bias": sd.take(f"point_net.conv{i}.bias"),
+        }
+        pn_p[f"conv{i}_bn"], pn_s[f"conv{i}_bn"] = _bn(sd, f"point_net.bn{i}")
+
+    params["net_vlad"], stats["net_vlad"] = _netvlad_loupe(sd, "net_vlad")
+    return {"params": params, "batch_stats": stats}, sd.unused()
+
+
+_CONVERTERS = {
+    "pointnet_vlad": convert_pointnet_vlad,
+}
 
 
 def load_torch_checkpoint(
-    path: str, model_type: str, cfg: Dict[str, Any], template_variables
+    path: str,
+    model_type: str,
+    cfg: Dict[str, Any],
+    template_variables=None,
+    strict_shapes: bool = True,
 ):
+    """Load a reference .pth into flax variables.
+
+    Accepts both the wrapped ``state_dict_encoder`` dict and bare state
+    dicts (evaluate.py:150-158). ``template_variables`` (when given) is
+    used to verify tree/shape agreement.
+    """
     import torch
 
     obj = torch.load(path, map_location="cpu", weights_only=False)
     state_dict = obj.get("state_dict_encoder", obj) if isinstance(obj, dict) else obj
-    raise NotImplementedError(
-        f"torch checkpoint import for model_type={model_type} is not wired "
-        f"up yet (found {len(state_dict)} tensors in {path}); use an orbax "
-        f"checkpoint trained with this framework, or open the mapping table "
-        f"in patchaugnet_tpu/compat/torch_loader.py"
-    )
+    state_dict = {k: v.numpy() for k, v in state_dict.items()}
+    if model_type not in _CONVERTERS:
+        raise NotImplementedError(
+            f"torch checkpoint import not yet wired for model_type={model_type}; "
+            f"available: {sorted(_CONVERTERS)}"
+        )
+    variables, unused = _CONVERTERS[model_type](state_dict)
+    if template_variables is not None and strict_shapes:
+        import jax
+
+        def check(path_, a, b):
+            assert tuple(np.shape(a)) == tuple(np.shape(b)), (
+                f"shape mismatch at {path_}: torch {np.shape(b)} vs flax {np.shape(a)}"
+            )
+
+        jax.tree_util.tree_map_with_path(
+            lambda p, a, b: check(p, a, b),
+            template_variables["params"],
+            variables["params"],
+        )
+    return variables

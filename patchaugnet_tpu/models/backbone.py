@@ -42,6 +42,8 @@ class PointNet2SAModule(nn.Module):
     knn_dilation: int = 1
     gp: Optional[int] = None    # grouped self-attention groups (PPT-Net)
     use_xyz: bool = True
+    # TPU PartialReduce kNN at this recall target (None = exact top_k)
+    knn_approx_recall: Optional[float] = None
 
     @nn.compact
     def __call__(
@@ -58,6 +60,7 @@ class PointNet2SAModule(nn.Module):
             nsample=self.nsample,
             knn_dilation=self.knn_dilation,
             use_xyz=self.use_xyz,
+            approx_recall=self.knn_approx_recall,
         )
         h = SharedMLP(self.mlp, name="mlp")(grouped.new_features, train=train)
         h = jnp.max(h, axis=2)                             # neighbour max-pool

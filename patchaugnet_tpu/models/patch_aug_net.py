@@ -86,6 +86,7 @@ class PatchAugNet(nn.Module):
                 mlp=widths,
                 knn_dilation=dil,
                 gp=None,
+                knn_approx_recall=p.get("KNN_APPROX_RECALL"),
                 name=f"sa{i}",
             )(l_xyz[i], l_feats[i], train=train)
             l_xyz.append(out.new_xyz)

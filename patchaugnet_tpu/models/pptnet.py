@@ -53,7 +53,8 @@ class PPTNet(nn.Module):
         center_idx, sample_idx = [], []
         for i, (npoint, k, widths) in enumerate(sa_specs):
             out = PointNet2SAModule(
-                npoint=npoint, nsample=k, mlp=widths, gp=gp, name=f"sa{i}"
+                npoint=npoint, nsample=k, mlp=widths, gp=gp,
+                knn_approx_recall=p.get("KNN_APPROX_RECALL"), name=f"sa{i}"
             )(l_xyz[i], l_feats[i], train=train)
             l_xyz.append(out.new_xyz)
             l_feats.append(out.features)

@@ -14,6 +14,17 @@ from .vlad import (
     NetVLADLoupe,
 )
 from .pointnet import STN3D, PointNetEncoder, PointNetDecoder
+from .extras import (
+    SEAttention,
+    ChannelAttention,
+    SpatialAttention,
+    CBAM,
+    GeMPooling,
+    sinusoidal_positional_embedding,
+    MultiheadAttention,
+    TransformerEncoderLayer,
+    AttentionalGNN,
+)
 
 __all__ = [
     "SharedMLP",
@@ -34,4 +45,13 @@ __all__ = [
     "STN3D",
     "PointNetEncoder",
     "PointNetDecoder",
+    "SEAttention",
+    "ChannelAttention",
+    "SpatialAttention",
+    "CBAM",
+    "GeMPooling",
+    "sinusoidal_positional_embedding",
+    "MultiheadAttention",
+    "TransformerEncoderLayer",
+    "AttentionalGNN",
 ]

@@ -1,0 +1,4 @@
+"""Pallas TPU kernels (drop-in replacements for the XLA op versions)."""
+from .fps import farthest_point_sample_pallas
+
+__all__ = ["farthest_point_sample_pallas"]
