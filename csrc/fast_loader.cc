@@ -19,6 +19,7 @@
 // warning and returns zeros, loading_pointclouds.py:26-30).
 
 #include <atomic>
+#include <cmath>
 #include <cstdint>
 #include <cstdio>
 #include <cstring>

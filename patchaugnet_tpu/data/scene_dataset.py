@@ -330,6 +330,17 @@ class SceneDataset:
             pcs = [self._clouds[i].copy() for i in indices]
         else:
             files = [self.records.iloc[i]["file"] for i in indices]
+            if (
+                not self.data_cfg["self_collected"]
+                and self.data_cfg["cloud_dtype"] == np.float64
+            ):
+                from . import fast_loader
+
+                if fast_loader.available():
+                    clouds, _, _ = fast_loader.load_clouds(
+                        files, self.num_points, normalize=False
+                    )
+                    return clouds, [{} for _ in files]
             pcs = load_pc_files(
                 files, "", dtype=self.data_cfg["cloud_dtype"],
                 use_np_load=self.data_cfg["self_collected"],

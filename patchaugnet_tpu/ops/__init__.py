@@ -25,6 +25,13 @@ from .chamfer import (
     chamfer_l2_split,
 )
 from .emd import auction_emd
+from .labelstat import (
+    labelstat_ballrange,
+    labelstat_idx,
+    labelstat_and_ballquery,
+    featuredistribute,
+    featuregather,
+)
 
 __all__ = [
     "pairwise_sqdist",
@@ -47,4 +54,9 @@ __all__ = [
     "chamfer_l2",
     "chamfer_l2_split",
     "auction_emd",
+    "labelstat_ballrange",
+    "labelstat_idx",
+    "labelstat_and_ballquery",
+    "featuredistribute",
+    "featuregather",
 ]

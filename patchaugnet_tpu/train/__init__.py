@@ -14,6 +14,12 @@ from .step import (
     empty_patch_inputs,
 )
 from .loop import train_one_epoch, evaluate, prepare_patch_inputs
+from .smoothap import (
+    sample_smoothap_batch,
+    build_masks,
+    build_smoothap_train_step,
+    multistep_schedule,
+)
 
 __all__ = [
     "TrainState",
@@ -29,4 +35,8 @@ __all__ = [
     "train_one_epoch",
     "evaluate",
     "prepare_patch_inputs",
+    "sample_smoothap_batch",
+    "build_masks",
+    "build_smoothap_train_step",
+    "multistep_schedule",
 ]

@@ -262,3 +262,57 @@ class TestOverlap:
         v = np.asarray(corr.row_valid)
         assert v.sum() == 1
         assert np.asarray(corr.row_neg_idx)[v][0] == 5  # far[2]
+
+
+class TestFastLoader:
+    def test_matches_numpy_path(self, tmp_path, rng):
+        from patchaugnet_tpu.data import fast_loader
+
+        if not fast_loader.available():
+            import pytest
+
+            pytest.skip("native loader unavailable")
+        paths = []
+        ref = []
+        for i in range(5):
+            pc = rng.rand(64, 3)
+            p = tmp_path / f"c{i}.bin"
+            pc.astype(np.float64).tofile(str(p))
+            paths.append(str(p))
+            ref.append(pc.astype(np.float32))
+        clouds, meta, n_ok = fast_loader.load_clouds(paths, 64)
+        assert n_ok == 5
+        np.testing.assert_allclose(clouds, np.stack(ref), atol=1e-6)
+
+    def test_normalize_matches_python(self, tmp_path, rng):
+        from patchaugnet_tpu.data import fast_loader
+        from patchaugnet_tpu.data.pointclouds import normalize_point_cloud
+
+        if not fast_loader.available():
+            import pytest
+
+            pytest.skip("native loader unavailable")
+        pc = rng.rand(64, 3) * 10
+        p = tmp_path / "c.bin"
+        pc.astype(np.float64).tofile(str(p))
+        clouds, meta, n_ok = fast_loader.load_clouds([str(p)], 64, normalize=True)
+        expect, m = normalize_point_cloud(pc.copy(), True)
+        np.testing.assert_allclose(clouds[0], expect, atol=1e-5)
+        np.testing.assert_allclose(meta[0, :3], m["trans"], rtol=1e-5)
+        np.testing.assert_allclose(meta[0, 3], m["scale"], rtol=1e-5)
+
+    def test_missing_file_zero_slot(self, tmp_path, rng):
+        from patchaugnet_tpu.data import fast_loader
+
+        if not fast_loader.available():
+            import pytest
+
+            pytest.skip("native loader unavailable")
+        pc = rng.rand(16, 3)
+        good = tmp_path / "g.bin"
+        pc.astype(np.float64).tofile(str(good))
+        clouds, _, n_ok = fast_loader.load_clouds(
+            [str(good), str(tmp_path / "missing.bin")], 16
+        )
+        assert n_ok == 1
+        np.testing.assert_array_equal(clouds[1], 0)

@@ -131,3 +131,42 @@ class TestINIConfig:
         assert tp.positives_per_query == 4
         assert tp.tau1 == 0.01
         assert tp.model_params.coordinates == "cartesian"
+
+
+class TestSmoothAPTraining:
+    def test_loss_decreases_on_synthetic(self):
+        import jax.numpy as jnp
+        from patchaugnet_tpu import data, train
+        from patchaugnet_tpu.train.state import TrainState
+
+        scene = data.SceneDataset("synthetic", for_training=True)
+        scene.create_synthetic(n_trips=2, n_per_trip=12, num_points=64)
+        model = build_minkloc(dict(PARAM, normalize_embeddings=False))
+        import random as _random
+
+        rng = _random.Random(0)
+        batch_idx = train.sample_smoothap_batch(scene, 8, rng)
+        assert batch_idx is not None and len(batch_idx) == 8
+        pos, neg = train.build_masks(scene, batch_idx)
+        assert pos.any() and neg.any()
+        clouds, _ = scene.get_clouds(batch_idx)
+        clouds = jnp.asarray(clouds)
+
+        sched = train.multistep_schedule(1e-3, [250], steps_per_epoch=10)
+        step, tx = train.build_smoothap_train_step(
+            model, sched, weight_decay=1e-4, positives_per_query=2
+        )
+        variables = model.init(jax.random.PRNGKey(0), clouds)
+        state = TrainState(
+            step=jnp.zeros((), jnp.int32),
+            params=variables["params"],
+            batch_stats=variables["batch_stats"],
+            opt_state=tx.init(variables["params"]),
+            tx=tx,
+        )
+        losses = []
+        for _ in range(8):
+            state, stats = step(state, clouds, jnp.asarray(pos), jnp.asarray(neg))
+            losses.append(float(stats["loss"]))
+        assert np.isfinite(losses).all()
+        assert losses[-1] < losses[0], losses

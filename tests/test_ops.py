@@ -235,3 +235,34 @@ class TestEMD:
         gx, gy = jax.grad(loss, argnums=(0, 1))(x, y)
         assert float(jnp.abs(gy).sum()) == 0.0
         assert float(jnp.abs(gx).sum()) > 0.0
+
+
+class TestLabelStat:
+    def test_labelstat_ballrange(self, rng):
+        xyz = rng.rand(1, 30, 3).astype(np.float32)
+        new_xyz = rng.rand(1, 5, 3).astype(np.float32)
+        labels = rng.randint(0, 4, 30)
+        stat = np.eye(4, dtype=np.int32)[labels][None]
+        got = np.asarray(ops.labelstat_ballrange(0.4, xyz, new_xyz, stat))[0]
+        dm = np_pairwise_sqdist(new_xyz[0], xyz[0])
+        for q in range(5):
+            members = np.where(dm[q] < 0.16)[0]
+            expect = np.bincount(labels[members], minlength=4)
+            np.testing.assert_array_equal(got[q], expect)
+
+    def test_labelstat_idx(self, rng):
+        stat = rng.randint(0, 3, (1, 10, 4)).astype(np.int32)
+        idx = rng.randint(0, 10, (1, 6, 3)).astype(np.int32)
+        got = np.asarray(ops.labelstat_idx(stat, idx))[0]
+        for q in range(6):
+            np.testing.assert_array_equal(got[q], stat[0][idx[0, q]].sum(0))
+
+    def test_featuredistribute_gather(self, rng):
+        max_xyz = rng.rand(1, 8, 3).astype(np.float32)
+        xyz = rng.rand(1, 20, 3).astype(np.float32)
+        didx = np.asarray(ops.featuredistribute(max_xyz, xyz))[0]
+        dm = np_pairwise_sqdist(xyz[0], max_xyz[0])
+        np.testing.assert_array_equal(didx, dm.argmin(1))
+        feats = rng.rand(1, 8, 5).astype(np.float32)
+        gathered = np.asarray(ops.featuregather(feats, didx[None]))[0]
+        np.testing.assert_array_equal(gathered, feats[0][didx])
