@@ -415,11 +415,17 @@ class SceneDataset:
             )
 
     # ------------------------------------------------------ descriptors
+    def g_desc_dir(self, model_type: str) -> str:
+        """Reference descriptor-dump layout (scene_dataset.py:104-111)."""
+        extra = "test" if self.data_cfg["is_test_dataset"] else "train"
+        return os.path.join(self.pickle_dir(), f"desc_{model_type}_{extra}", "global")
+
     def make_descs(
         self,
         forward_fn: Callable[[np.ndarray], np.ndarray],
         batch_size: int = 100,
         stat_time: bool = False,
+        save_model_type: Optional[str] = None,
     ) -> Optional[Dict[str, float]]:
         """Embed the whole database.
 
@@ -431,6 +437,10 @@ class SceneDataset:
         n = len(self.records)
         descs = []
         times = []
+        g_dir = None
+        if save_model_type is not None:
+            g_dir = self.g_desc_dir(save_model_type)
+            os.makedirs(g_dir, exist_ok=True)
         for s in range(0, n, batch_size):
             idx = list(range(s, min(s + batch_size, n)))
             clouds, _ = self.get_clouds(idx)
@@ -442,7 +452,15 @@ class SceneDataset:
             dt = time.perf_counter() - t0
             if stat_time:
                 times.append(dt / batch_size)
-            descs.append(out[: len(idx)])
+            out = out[: len(idx)]
+            if g_dir is not None:
+                # per-record pickle of the (1, C) descriptor
+                # (scene_dataset.py:694-698)
+                for bi, rec_idx in enumerate(idx):
+                    with open(os.path.join(g_dir, f"{rec_idx}.pickle"), "wb") as f:
+                        pickle.dump(out[bi].reshape(1, -1), f,
+                                    protocol=pickle.HIGHEST_PROTOCOL)
+            descs.append(out)
         self.global_descs = np.concatenate(descs)
         if stat_time and times:
             # skip the first (compile) batch like the reference skips
@@ -486,6 +504,62 @@ class SceneDataset:
                     collect_query_results=collect_query_results,
                 )
                 out[qt, rt] = res
+        return out
+
+    def find_top_k_feat_train(self, top_k: int = 300) -> Dict[int, Dict]:
+        """Training-mode top-k dump for rerank training
+        (scene_dataset.py:884-925): labelled candidate lists per query —
+        up to top_k/2 positives (state 1, within search_radius_pos) and
+        top_k/2 negatives (state 0, beyond search_radius_neg), unknowns
+        skipped, queries lacking both classes dropped."""
+        assert self.global_descs is not None
+        pos_xy = self.records[["easting", "northing"]].values.astype(np.float32)
+        r_pos = self.data_cfg["search_radius_pos"]
+        r_neg = self.data_cfg["search_radius_neg"]
+        k = min(1000, len(self.records))
+        _, nbr = retrieval.topk_neighbors(self.global_descs, self.global_descs, k)
+        out: Dict[int, Dict] = {}
+        for i in range(len(self.records)):
+            top_list, states = [], []
+            n_p = n_n = 0
+            for j in nbr[i]:
+                j = int(j)
+                if j == i:
+                    continue
+                dist = float(np.linalg.norm(pos_xy[i] - pos_xy[j]))
+                if dist < r_pos:
+                    if n_p == top_k // 2:
+                        continue
+                    top_list.append(j)
+                    states.append(1)
+                    n_p += 1
+                elif dist > r_neg:
+                    if n_n == top_k // 2:
+                        continue
+                    top_list.append(j)
+                    states.append(0)
+                    n_n += 1
+                if n_p + n_n == top_k:
+                    break
+            if n_p and n_n:
+                out[i] = {"top_k": top_list, "state": states}
+        return out
+
+    def find_top_k_euc(self, top_k: int = 300) -> Dict[Tuple[int, int], Dict]:
+        """Euclidean-position top-k per ref trip
+        (scene_dataset.py:977-1014): for every record, the top_k nearest
+        records of each trip by (northing, easting), skipping itself."""
+        pos = self.records[["northing", "easting"]].values.astype(np.float32)
+        sample_indices = self.trip_indices()
+        out: Dict[Tuple[int, int], Dict] = {}
+        for rt in range(len(self.trip_names)):
+            db_idx = np.asarray(sample_indices[rt])
+            k = min(top_k + 1, len(db_idx))
+            _, nbr = retrieval.topk_neighbors(pos, pos[db_idx], k)
+            for i in range(len(self.records)):
+                found = db_idx[nbr[i]]
+                found = found[found != i][:top_k]
+                out.setdefault((i, rt), {})["euc_knn"] = found
         return out
 
     def find_top_k_feat(self, top_k: int = 300) -> Dict[int, Dict]:

@@ -191,8 +191,13 @@ class PlaceRecognitionDataset:
                 yield batch
 
     # ------------------------------------------------------ delegation
-    def update_global_descs(self, forward_fn, batch_size: int = 100, stat_time=False):
-        return self.scene.make_descs(forward_fn, batch_size, stat_time)
+    def update_global_descs(
+        self, forward_fn, batch_size: int = 100, stat_time=False,
+        save_model_type=None,
+    ):
+        return self.scene.make_descs(
+            forward_fn, batch_size, stat_time, save_model_type=save_model_type
+        )
 
     def clear_global_descs(self):
         self.scene.clear_global_descs()

@@ -51,12 +51,29 @@ def knn(
     """
     if new_xyz is None:
         new_xyz = xyz
-    d = pairwise_sqdist(new_xyz, xyz)                      # (b, m, n)
     if approx_recall is not None:
+        d = pairwise_sqdist(new_xyz, xyz)                  # (b, m, n)
         neg, idx = jax.lax.approx_max_k(-d, k, recall_target=approx_recall)
-    else:
-        neg, idx = jax.lax.top_k(-d, k)                    # ascending distance
+        return idx.astype(jnp.int32), -neg
+    qb = _pallas_query_block(new_xyz.shape[-2])
+    if jax.default_backend() not in ("cpu",) and qb is not None:
+        from .pallas.knn import knn_pallas
+
+        return knn_pallas(xyz, new_xyz, k, query_block=qb)
+    d = pairwise_sqdist(new_xyz, xyz)                      # (b, m, n)
+    neg, idx = jax.lax.top_k(-d, k)                        # ascending distance
     return idx.astype(jnp.int32), -neg
+
+
+def _pallas_query_block(m: int) -> Optional[int]:
+    """Largest query-block size (<=256, multiple of 8 or the full m)
+    that evenly divides m; None disables the Pallas kNN path."""
+    if m <= 256:
+        return m
+    for qb in range(256, 7, -8):
+        if m % qb == 0:
+            return qb
+    return None
 
 
 def dilated_knn(

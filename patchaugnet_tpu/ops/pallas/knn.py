@@ -1,0 +1,86 @@
+"""Pallas exact-kNN selection kernel.
+
+Replaces ``lax.top_k`` for the SA-level grouping shapes: top_k lowers to
+a full bitonic sort of every candidate row (~70 ms at B=32, m=1024,
+n=4096, k=40 on v5e). Here the squared-distance matrix comes from one
+XLA MXU contraction (cheap, ~3 ms) and the k nearest are peeled off by
+a Pallas kernel that keeps each (query-block x n) distance tile
+resident in VMEM and runs k min-extraction sweeps — one HBM pass
+instead of a sort. ~6x faster end to end.
+
+Matches ``ops.knn`` exactly: ascending distance, ties resolve to the
+lowest candidate index.
+
+(A fully fused variant that also computes distances in-kernel from
+(qb, 1) x (1, n) coordinate blocks miscompiles under current Mosaic —
+last-dim-1 block relayouts produce wrong results while interpret mode
+is exact — hence the split.)
+"""
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..pairwise import pairwise_sqdist
+
+
+def _extract_kernel(k, dist_in, idx_ref, d2_ref, dist_ref):
+    qb, n = dist_in.shape
+    dist_ref[:, :] = dist_in[:, :]
+    lane = jax.lax.broadcasted_iota(jnp.int32, (qb, n), 1)
+    col = jax.lax.broadcasted_iota(jnp.int32, (qb, k), 1)
+    idx_ref[:, :] = jnp.zeros((qb, k), jnp.int32)
+    d2_ref[:, :] = jnp.zeros((qb, k), jnp.float32)
+
+    def body(j, _):
+        d = dist_ref[:, :]
+        mn = jnp.min(d, axis=1, keepdims=True)              # (qb, 1)
+        sel = jnp.min(
+            jnp.where(d == mn, lane, jnp.int32(n)), axis=1, keepdims=True
+        ).astype(jnp.int32)
+        idx_ref[:, :] = jnp.where(col == j, sel, idx_ref[:, :])
+        d2_ref[:, :] = jnp.where(col == j, mn, d2_ref[:, :])
+        dist_ref[:, :] = jnp.where(lane == sel, jnp.float32(1e30), d)
+        return 0
+
+    jax.lax.fori_loop(0, k, body, 0)
+
+
+@partial(jax.jit, static_argnums=(1, 2), static_argnames=("query_block", "interpret"))
+def topk_extract_pallas(
+    dist: jax.Array, k: int, query_block: int = 256, interpret: bool = False
+):
+    """k smallest per row of ``(b, m, n)`` -> ``(idx, val) (b, m, k)``."""
+    b, m, n = dist.shape
+    qb = min(query_block, m)
+    assert m % qb == 0, (m, qb)
+    spec = pl.BlockSpec((None, qb, n), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM)
+    ospec = pl.BlockSpec((None, qb, k), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        partial(_extract_kernel, k),
+        grid=(b, m // qb),
+        in_specs=[spec],
+        out_specs=(ospec, ospec),
+        out_shape=(
+            jax.ShapeDtypeStruct((b, m, k), jnp.int32),
+            jax.ShapeDtypeStruct((b, m, k), jnp.float32),
+        ),
+        scratch_shapes=[pltpu.VMEM((qb, n), jnp.float32)],
+        interpret=interpret,
+    )(dist.astype(jnp.float32))
+
+
+def knn_pallas(
+    xyz: jax.Array,
+    new_xyz: jax.Array,
+    k: int,
+    query_block: int = 256,
+    interpret: bool = False,
+):
+    """Exact kNN: ``(b, n, 3) x (b, m, 3) -> idx (b, m, k), d2 (b, m, k)``."""
+    d = pairwise_sqdist(new_xyz, xyz)
+    return topk_extract_pallas(d, k, query_block, interpret=interpret)

@@ -316,3 +316,45 @@ class TestFastLoader:
         )
         assert n_ok == 1
         np.testing.assert_array_equal(clouds[1], 0)
+
+
+class TestTopKDumps:
+    def _scene_with_descs(self, for_training):
+        ds = data.SceneDataset("synthetic", for_training=for_training)
+        ds.create_synthetic(n_trips=2, n_per_trip=12, num_points=32)
+        rng = np.random.RandomState(0)
+        ds.global_descs = rng.randn(24, 8).astype(np.float32)
+        return ds
+
+    def test_find_top_k_feat_train_mode(self):
+        ds = self._scene_with_descs(for_training=True)
+        out = ds.find_top_k_feat_train(top_k=10)
+        assert len(out) > 0
+        for i, entry in out.items():
+            states = entry["state"]
+            assert 1 in states and 0 in states  # both classes present
+            pos_xy = ds.records[["easting", "northing"]].values
+            for j, s in zip(entry["top_k"], states):
+                d = np.linalg.norm(pos_xy[i] - pos_xy[j])
+                if s == 1:
+                    assert d < ds.data_cfg["search_radius_pos"]
+                else:
+                    assert d > ds.data_cfg["search_radius_neg"]
+
+    def test_find_top_k_euc(self):
+        ds = self._scene_with_descs(for_training=True)
+        out = ds.find_top_k_euc(top_k=5)
+        pos = ds.records[["northing", "easting"]].values
+        found = out[(0, 0)]["euc_knn"]
+        assert 0 not in found  # skips itself
+        trip0 = set(ds.trip_indices()[0])
+        assert set(int(f) for f in found) <= trip0
+        # first neighbour really is the nearest in trip 0
+        d = np.linalg.norm(pos[list(sorted(trip0 - {0}))] - pos[0], axis=1)
+        nearest = sorted(trip0 - {0})[int(np.argmin(d))]
+        assert int(found[0]) == nearest
+
+    def test_find_top_k_feat_test_mode(self):
+        ds = self._scene_with_descs(for_training=False)
+        out = ds.find_top_k_feat(top_k=5)
+        assert len(out) > 0
