@@ -156,8 +156,158 @@ def convert_pointnet_vlad(state_dict: Dict[str, Any]):
     return {"params": params, "batch_stats": stats}, sd.unused()
 
 
+def _shared_mlp(sd: StateDict, prefix: str, n_layers: int):
+    """pt_util.SharedMLP stack (conv 1x1 no-bias + BN per layer)."""
+    p, stats = {}, {}
+    for j in range(n_layers):
+        p[f"layer{j}"] = {
+            "kernel": sd.take(f"{prefix}.layer{j}.conv.weight", _t_conv1x1)
+        }
+        p[f"bn{j}"], stats[f"bn{j}"] = _bn(sd, f"{prefix}.layer{j}.bn.bn")
+    return p, stats
+
+
+def _count_mlp_layers(sd: StateDict, prefix: str) -> int:
+    n = 0
+    while f"{prefix}.layer{n}.conv.weight" in sd.sd:
+        n += 1
+    return n
+
+
+def _vlad_base(sd: StateDict, prefix: str):
+    """NetVLADBase used inside SPVLAD: only cluster weights + bn1 feed
+    the forward (loupe.py:191-222); per-vlad hidden1_weights / bn2 /
+    context_gating are constructed but dead — left unused."""
+    p = {
+        "cluster_weights": sd.take(f"{prefix}.cluster_weights"),
+        "cluster_weights2": sd.take(f"{prefix}.cluster_weights2"),
+    }
+    stats = {}
+    p["bn1"], stats["bn1"] = _bn(sd, f"{prefix}.bn1")
+    return p, stats
+
+
+def _gating(sd: StateDict, prefix: str):
+    p = {"gating_weights": sd.take(f"{prefix}.gating_weights")}
+    stats = {}
+    p["bn1"], stats["bn1"] = _bn(sd, f"{prefix}.bn1")
+    return p, stats
+
+
+def _afa(sd: StateDict, prefix: str):
+    """AdaptiveFeatureAggregator: mlpa (first conv only — trans_conv /
+    after_norm are the dead 'way 1' path, loupe.py:34-38), fc, bn."""
+    p = {
+        "mlpa": {"mlp0": {"kernel": sd.take(f"{prefix}.mlpa.mlps.0.weight", _t_conv1x1)}},
+        "fc": {
+            "kernel": sd.take(f"{prefix}.fc.weight", _t_linear),
+            "bias": sd.take(f"{prefix}.fc.bias"),
+        },
+    }
+    stats = {}
+    p["bn"], stats["bn"] = _bn(sd, f"{prefix}.bn")
+    return p, stats
+
+
+def _group_sa(sd: StateDict, prefix: str, gp: int):
+    """SA_Layer/GroupSALayer with tied q/k grouped convs."""
+    p = {
+        "qk_conv": {"kernel": sd.take(f"{prefix}.q_conv.weight",
+                                      lambda w: _t_grouped_conv(w, gp))},
+        "v_conv": {
+            "kernel": sd.take(f"{prefix}.v_conv.weight", _t_conv1x1),
+            "bias": sd.take(f"{prefix}.v_conv.bias"),
+        },
+        "trans_conv": {
+            "kernel": sd.take(f"{prefix}.trans_conv.weight", _t_conv1x1),
+            "bias": sd.take(f"{prefix}.trans_conv.bias"),
+        },
+    }
+    # k_conv.weight aliases q_conv.weight (tied); mark consumed
+    if f"{prefix}.k_conv.weight" in sd.sd:
+        sd.take(f"{prefix}.k_conv.weight")
+    stats = {}
+    p["after_norm"], stats["after_norm"] = _bn(sd, f"{prefix}.after_norm")
+    return p, stats
+
+
+def _backbone(sd: StateDict, n_sa: int, n_fp: int, gp: Optional[int] = None):
+    """SA + FP stacks shared by PPT-Net / PatchAugNet."""
+    p: Dict[str, Any] = {}
+    stats: Dict[str, Any] = {}
+    for i in range(n_sa):
+        pref = f"backbone.SA_modules.{i}.mlps.0"
+        n_layers = _count_mlp_layers(sd, pref)
+        mp, ms = _shared_mlp(sd, pref, n_layers)
+        p[f"sa{i}"] = {"mlp": mp}
+        stats[f"sa{i}"] = {"mlp": ms}
+        if gp is not None:
+            sp, ss = _group_sa(sd, f"backbone.SA_modules.{i}.sas.0", gp)
+            p[f"sa{i}"]["sa"] = sp
+            stats[f"sa{i}"]["sa"] = ss
+    for i in range(n_fp):
+        pref = f"backbone.FP_modules.{i}.mlp"
+        n_layers = _count_mlp_layers(sd, pref)
+        mp, ms = _shared_mlp(sd, pref, n_layers)
+        p[f"fp{i}"] = {"mlp": mp}
+        stats[f"fp{i}"] = {"mlp": ms}
+    return p, stats
+
+
+def convert_patch_aug_net(state_dict: Dict[str, Any]):
+    """Reference patch_aug_net.Network (AGGREGATION_TYPE=2, use_a2a_recon)."""
+    sd = StateDict(state_dict)
+    params, stats = _backbone(sd, n_sa=3, n_fp=3)
+    agg_p: Dict[str, Any] = {}
+    agg_s: Dict[str, Any] = {}
+    for i in range(3):
+        agg_p[f"vlad{i}"], agg_s[f"vlad{i}"] = _vlad_base(sd, f"aggregation.vlads.{i}")
+    agg_p["afa"], agg_s["afa"] = _afa(sd, "aggregation.afa")
+    if "aggregation.context_gating.gating_weights" in sd.sd:
+        agg_p["context_gating"], agg_s["context_gating"] = _gating(
+            sd, "aggregation.context_gating"
+        )
+    params["aggregation"] = agg_p
+    stats["aggregation"] = agg_s
+    if "decoder.fc1.weight" in sd.sd:
+        dec_p: Dict[str, Any] = {}
+        dec_s: Dict[str, Any] = {}
+        for i in (1, 2, 3):
+            dec_p[f"fc{i}"] = {
+                "kernel": sd.take(f"decoder.fc{i}.weight", _t_linear),
+                "bias": sd.take(f"decoder.fc{i}.bias"),
+            }
+        for i in (1, 2):
+            dec_p[f"bn{i}"], dec_s[f"bn{i}"] = _bn(sd, f"decoder.bn{i}")
+        params["decoder"] = dec_p
+        stats["decoder"] = dec_s
+    return {"params": params, "batch_stats": stats}, sd.unused()
+
+
+def convert_pptnet(state_dict: Dict[str, Any], gp: int = 8):
+    """Reference pptnet.Network (4 SA levels with grouped attention)."""
+    sd = StateDict(state_dict)
+    params, stats = _backbone(sd, n_sa=4, n_fp=4, gp=gp)
+    agg_p: Dict[str, Any] = {}
+    agg_s: Dict[str, Any] = {}
+    for i in range(4):
+        agg_p[f"vlad{i}"], agg_s[f"vlad{i}"] = _vlad_base(sd, f"aggregation.vlad{i}")
+    agg_p["hidden_weights"] = sd.take("aggregation.hidden_weights")
+    agg_p["bn2"], agg_s["bn2"] = _bn(sd, "aggregation.bn2")
+    if "aggregation.context_gating.gating_weights" in sd.sd:
+        agg_p["context_gating"], agg_s["context_gating"] = _gating(
+            sd, "aggregation.context_gating"
+        )
+    params["aggregation"] = agg_p
+    stats["aggregation"] = agg_s
+    return {"params": params, "batch_stats": stats}, sd.unused()
+
+
 _CONVERTERS = {
     "pointnet_vlad": convert_pointnet_vlad,
+    "patch_aug_net": convert_patch_aug_net,
+    "pptnet": convert_pptnet,
+    "pptnet_l2_norm": convert_pptnet,
 }
 
 
