@@ -8,6 +8,7 @@ from .mesh import (
     build_parallel_forward,
     pad_to_multiple,
 )
+from .sharded_ops import sharded_knn, sharded_fps
 
 __all__ = [
     "make_mesh",
@@ -17,4 +18,6 @@ __all__ = [
     "build_parallel_train_step",
     "build_parallel_forward",
     "pad_to_multiple",
+    "sharded_knn",
+    "sharded_fps",
 ]

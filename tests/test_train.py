@@ -181,3 +181,37 @@ class TestParallel:
             train.build_forward_fn(model, SMALL_CFG)(state.variables, jnp.asarray(clouds))
         )
         np.testing.assert_allclose(descs, ref, atol=1e-5)
+
+
+class TestShardedOps:
+    def test_sharded_knn_matches_single_device(self, rng):
+        from patchaugnet_tpu import ops
+        from patchaugnet_tpu.parallel.sharded_ops import sharded_knn
+
+        mesh = parallel.make_mesh(4)
+        x = jnp.asarray(rng.rand(2, 256, 3).astype(np.float32))
+        q = jnp.asarray(rng.rand(2, 64, 3).astype(np.float32))
+        ref_i, ref_d = ops.knn(x, q, 10)
+        got_i, got_d = sharded_knn(x, q, 10, mesh)
+        np.testing.assert_array_equal(np.asarray(ref_i), np.asarray(got_i))
+        np.testing.assert_allclose(np.asarray(ref_d), np.asarray(got_d), atol=1e-5)
+
+    def test_sharded_fps_matches_single_device(self, rng):
+        from patchaugnet_tpu import ops
+        from patchaugnet_tpu.parallel.sharded_ops import sharded_fps
+
+        mesh = parallel.make_mesh(4)
+        x = jnp.asarray(rng.rand(2, 256, 3).astype(np.float32))
+        ref = np.asarray(ops.farthest_point_sample(x, 64))
+        got = np.asarray(sharded_fps(x, 64, mesh))
+        np.testing.assert_array_equal(ref, got)
+
+    def test_sharded_knn_8_devices(self, rng):
+        from patchaugnet_tpu import ops
+        from patchaugnet_tpu.parallel.sharded_ops import sharded_knn
+
+        mesh = parallel.make_mesh(8)
+        x = jnp.asarray(rng.rand(1, 512, 3).astype(np.float32))
+        ref_i, _ = ops.knn(x, x[:, :32], 16)
+        got_i, _ = sharded_knn(x, x[:, :32], 16, mesh)
+        np.testing.assert_array_equal(np.asarray(ref_i), np.asarray(got_i))
