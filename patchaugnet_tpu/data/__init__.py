@@ -18,6 +18,16 @@ from .retrieval import (
     RecallResult,
     hard_negatives,
 )
+from .augment import (
+    jitter_points,
+    remove_random_points,
+    remove_random_block,
+    random_translation,
+    random_rotation,
+    random_flip,
+    train_transform,
+    train_set_transform,
+)
 from .overlap import (
     OverlapEntry,
     load_overlap_pb,
@@ -52,4 +62,12 @@ __all__ = [
     "save_overlap_pb",
     "synthetic_overlaps",
     "build_correspondences",
+    "jitter_points",
+    "remove_random_points",
+    "remove_random_block",
+    "random_translation",
+    "random_rotation",
+    "random_flip",
+    "train_transform",
+    "train_set_transform",
 ]

@@ -20,6 +20,13 @@ from .patch_contrast import (
     patch_contrastive_loss,
     contrastive_loss,
 )
+from .miners import (
+    batch_hard_triplet_loss,
+    batch_hard_contrastive_loss,
+    contrastive_quadruplet_loss,
+    ot_loss,
+    pps_loss,
+)
 from .extra import (
     truncated_smooth_ap,
     multi_similarity_loss,
@@ -64,5 +71,10 @@ __all__ = [
     "binary_focal_loss",
     "focal_loss",
     "cosine_affinity",
+    "batch_hard_triplet_loss",
+    "batch_hard_contrastive_loss",
+    "contrastive_quadruplet_loss",
+    "ot_loss",
+    "pps_loss",
     "get_loss_func",
 ]

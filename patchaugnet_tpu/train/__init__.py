@@ -19,6 +19,7 @@ from .smoothap import (
     build_masks,
     build_smoothap_train_step,
     multistep_schedule,
+    train_one_epoch_smoothap,
 )
 
 __all__ = [
@@ -39,4 +40,5 @@ __all__ = [
     "build_masks",
     "build_smoothap_train_step",
     "multistep_schedule",
+    "train_one_epoch_smoothap",
 ]

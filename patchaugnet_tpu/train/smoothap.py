@@ -114,6 +114,36 @@ def build_smoothap_train_step(
     return step, tx
 
 
+def train_one_epoch_smoothap(
+    state: TrainState,
+    step: Callable,
+    scene: SceneDataset,
+    batch_size: int,
+    batches_per_epoch: int,
+    rng: Optional[random.Random] = None,
+    get_clouds: Optional[Callable] = None,
+    logger=None,
+) -> Tuple[TrainState, Dict[str, float]]:
+    """One SmoothAP epoch: sample pair-expanded batches, build masks,
+    run the jitted step (the MinkLoc trainer loop)."""
+    rng = rng or random.Random(0)
+    get_clouds = get_clouds or (lambda idx: scene.get_clouds(idx)[0])
+    agg: Dict[str, list] = {}
+    for _ in range(batches_per_epoch):
+        batch_idx = sample_smoothap_batch(scene, batch_size, rng)
+        if batch_idx is None:
+            continue
+        pos, neg = build_masks(scene, batch_idx)
+        clouds = jnp.asarray(get_clouds(batch_idx))
+        state, stats = step(state, clouds, jnp.asarray(pos), jnp.asarray(neg))
+        for k in ("loss", "ap"):
+            agg.setdefault(k, []).append(float(stats[k]))
+    summary = {k: float(np.mean(v)) for k, v in agg.items() if v}
+    if logger and summary:
+        logger.info(f"smoothap epoch: {summary}")
+    return state, summary
+
+
 def multistep_schedule(
     lr: float, milestones: Sequence[int], steps_per_epoch: int, gamma: float = 0.1
 ) -> optax.Schedule:

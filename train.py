@@ -41,6 +41,9 @@ def get_args():
                    help="force jax platform (e.g. cpu); the axon TPU "
                         "plugin ignores JAX_PLATFORMS so this goes "
                         "through jax.config")
+    p.add_argument("--print-flops", action="store_true",
+                   help="print XLA cost-analysis FLOPs at startup "
+                        "(the reference's fvcore report)")
     args = p.parse_args()
     if args.platform:
         import jax
@@ -117,6 +120,16 @@ def main():
     )
     n_params = sum(x.size for x in jax.tree_util.tree_leaves(state.params))
     logger.info(f"Parameters: {n_params:,}")
+    if args.print_flops:
+        # reference prints fvcore GFLOPs on a 4x1x4096x3 probe at startup
+        # (train_place_recognition.py:551-553)
+        from patchaugnet_tpu.utils import flops, parameter_count
+
+        probe = jnp.zeros((4, cfg["NUM_POINTS"], 3))
+        f = flops(lambda v, a: model.apply(v, a, train=False), state.variables, probe)
+        if f:
+            logger.info(f"FLOPs: {f / 4 / 1e9:.4f} GFLOPs/cloud")
+        logger.info(f"Parameter table: {parameter_count(state.params)}")
 
     starting_epoch = 0
     if cfg["resume"]:
@@ -141,6 +154,39 @@ def main():
             state.variables, forward, test_ds, logger=logger, writer=writer,
             epoch=starting_epoch,
         )
+        writer.close()
+        return
+
+    if cfg.get("LOSS_FUNCTION", "").lower() == "truncatedsmoothap":
+        # MinkLoc3Dv2 training path: flat batches + (B,B) masks
+        from patchaugnet_tpu.train.smoothap import (
+            build_smoothap_train_step,
+            multistep_schedule,
+            train_one_epoch_smoothap,
+        )
+
+        sched = multistep_schedule(
+            cfg["BASE_LEARNING_RATE"], cfg.get("scheduler_milestones", [250, 350]),
+            steps_per_epoch,
+        )
+        sstep, tx = build_smoothap_train_step(
+            model, sched, weight_decay=cfg.get("WEIGHT_DECAY"),
+            tau1=cfg.get("tau1", 0.01),
+            positives_per_query=cfg.get("positives_per_query", 4),
+        )
+        state = state.replace(tx=tx, opt_state=tx.init(state.params))
+        import random as _random
+
+        rng = _random.Random(cfg.get("MANUAL_SEED", 123))
+        for epoch in range(starting_epoch, cfg["MAX_EPOCH"]):
+            logger.info(f"**** EPOCH {epoch:03d} (SmoothAP) ****")
+            state, summary = train_one_epoch_smoothap(
+                state, sstep, train_ds.scene,
+                batch_size=cfg.get("SMOOTHAP_BATCH_SIZE", 16),
+                batches_per_epoch=args.max_batches or steps_per_epoch,
+                rng=rng, logger=logger,
+            )
+            train.save_checkpoint(cfg["save_path"], state, epoch)
         writer.close()
         return
 
