@@ -1,0 +1,88 @@
+#!/usr/bin/env python
+"""Secondary benchmark: full PatchAugNet training-step throughput.
+
+Measures the complete jitted train step (forward with patches +
+quadruplet + a2a chamfer + a2b contrast + backward + Adam) on the
+reference configuration: batch of 4 tuples x (1+2+14+1) = 72 clouds of
+4096 points per step (train_place_recognition.py:148-149).
+
+Prints one JSON line {"metric", "value", "unit"}.
+"""
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+ITERS = 10
+
+
+def main():
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+
+    from __graft_entry__ import FULL_PARAM
+    from patchaugnet_tpu import train
+    from patchaugnet_tpu.losses import PatchCorrespondences
+    from patchaugnet_tpu.models import get_model
+
+    cfg = dict(
+        FULL_PARAM,
+        TRAIN_BATCH_SIZE=4, TRAIN_POSITIVES_PER_QUERY=2,
+        TRAIN_NEGATIVES_PER_QUERY=14,
+        BASE_LEARNING_RATE=5e-4, MOMENTUM=0.9, OPTIMIZER="adam",
+        MAX_EPOCH=30, LEARNING_RATE_DECAY="step", MARGIN_1=0.5, MARGIN_2=0.2,
+        LOSS_FUNCTION="quadruplet", LOSS_LAZY=True,
+        TRIPLET_USE_BEST_POSITIVES=False, LOSS_IGNORE_ZERO_BATCH=False,
+        A2B_MAX_ROWS=2048, A2B_MAX_PAIRS=16,
+        use_hard_negative_patch_mining=True,
+    )
+    total = cfg["TRAIN_BATCH_SIZE"] * (1 + 2 + 14 + 1)
+    n = cfg["NUM_POINTS"]
+    rng = np.random.RandomState(0)
+    clouds = jnp.asarray(rng.rand(total, n, 3).astype(np.float32))
+
+    model = get_model("patch_aug_net", cfg)
+    state = train.create_train_state(
+        model, jax.random.PRNGKey(0), clouds, cfg,
+        init_kwargs={"with_patches": True},
+    )
+    step = train.build_train_step(model, cfg)
+
+    T, M = cfg["A2B_MAX_ROWS"], cfg["SAMPLING"][0]
+    corr = PatchCorrespondences(
+        row_q_cloud=jnp.asarray(rng.randint(0, total, T), jnp.int32),
+        row_n_cloud=jnp.asarray(rng.randint(0, total, T), jnp.int32),
+        row_q_idx=jnp.asarray(rng.randint(0, M, T), jnp.int32),
+        row_pos_idx=jnp.asarray(rng.randint(0, M, T), jnp.int32),
+        row_neg_idx=jnp.asarray(rng.randint(0, M, T), jnp.int32),
+        row_pair_id=jnp.asarray(rng.randint(0, cfg["A2B_MAX_PAIRS"], T), jnp.int32),
+        row_valid=jnp.asarray(rng.rand(T) < 0.5),
+        num_pairs=cfg["A2B_MAX_PAIRS"],
+    )
+    mask = jnp.ones((total,), bool)
+
+    state, metrics = step(state, clouds, corr, mask)       # compile
+    np.asarray(metrics["total"])
+    t0 = time.perf_counter()
+    for _ in range(ITERS):
+        state, metrics = step(state, clouds, corr, mask)
+    np.asarray(metrics["total"])                            # in-order queue sync
+    dt = (time.perf_counter() - t0) / ITERS
+    print(
+        json.dumps(
+            {
+                "metric": "patch_aug_net train steps/sec (4 tuples x 18 clouds x 4096 pts)",
+                "value": round(1.0 / dt, 3),
+                "unit": "steps/s",
+                "ms_per_step": round(dt * 1000, 1),
+                "clouds_per_sec": round(total / dt, 1),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -63,10 +63,20 @@ def three_nn(unknown: jax.Array, known: jax.Array) -> Tuple[jax.Array, jax.Array
     pointops.py:76), shapes ``(b, n, 3)``.
 
     Implemented as three masked argmin sweeps instead of ``top_k`` —
-    ~7x faster on TPU for k=3 (top_k lowers to a full sort); ties still
-    resolve lowest-index-first, identical to top_k.
+    ~7x faster on TPU for k=3 (top_k lowers to a full sort); on TPU
+    backends the sweeps run inside the Pallas extraction kernel with the
+    distance tile resident in VMEM. Ties still resolve
+    lowest-index-first, identical to top_k.
     """
+    from .knn import _pallas_query_block
+
     d = pairwise_sqdist(unknown, known)
+    qb = _pallas_query_block(unknown.shape[-2])
+    if jax.default_backend() not in ("cpu",) and qb is not None:
+        from .pallas.knn import topk_extract_pallas
+
+        idx, d2 = topk_extract_pallas(d, 3, query_block=qb)
+        return jnp.sqrt(d2), idx
     m = d.shape[-1]
     idxs, dists = [], []
     for _ in range(3):

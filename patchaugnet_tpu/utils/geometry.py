@@ -11,7 +11,7 @@ TPU-native port of the numeric helpers in ``utils/util.py``:
 """
 from __future__ import annotations
 
-from typing import Sequence, Set, Tuple
+from typing import Optional, Sequence, Set, Tuple
 
 import numpy as np
 
@@ -120,3 +120,95 @@ def relative_rotation_error(r1: np.ndarray, r2: np.ndarray) -> float:
 
 def relative_translation_error(t1: np.ndarray, t2: np.ndarray) -> float:
     return float(np.linalg.norm(np.asarray(t1) - np.asarray(t2)))
+
+
+def nn_dist(c: np.ndarray) -> np.ndarray:
+    """All-pairs euclidean distances: ``(m, 3)`` or ``(b, m, 3)``
+    (utils/train_util.py:223-239)."""
+    c = np.asarray(c)
+    if c.ndim == 2:
+        d = ((c[:, None, :] - c[None, :, :]) ** 2).sum(-1)
+    else:
+        d = ((c[:, :, None, :] - c[:, None, :, :]) ** 2).sum(-1)
+    return np.sqrt(d)
+
+
+def nn_angle(c: np.ndarray, k: int = 3) -> np.ndarray:
+    """Cosine of angles between each point's edge to every other point
+    and its k nearest-neighbour edges (utils/train_util.py:242-277 —
+    the KNN_CUDA consumer; here the kNN is the framework's own op).
+
+    Args: c ``(m, 3)`` or ``(b, m, 3)``. Returns ``(b, k, m, m)``.
+    """
+    from .. import ops
+
+    c = np.asarray(c, np.float32)
+    if c.ndim == 2:
+        c = c[None]
+    idx = np.asarray(ops.knn(c, None, k + 1)[0])[..., 1:]   # (b, m, k)
+    b, m, _ = c.shape
+    c2 = np.stack([c[i][idx[i]] for i in range(b)])         # (b, m, k, 3)
+    c01 = c[:, None, :, :] - c[:, :, None, :]               # (b, m, m, 3)
+    c02 = c2 - c[:, :, None, :]                             # (b, m, k, 3)
+    c01n = c01 / np.maximum(np.linalg.norm(c01, axis=-1, keepdims=True), 1e-8)
+    c02n = c02 / np.maximum(np.linalg.norm(c02, axis=-1, keepdims=True), 1e-8)
+    # (b, k, m, m): cos between edge (i -> j) and edge (i -> knn_r(i))
+    return np.einsum("bmkd,bmjd->bkmj", c02n, c01n)
+
+
+def voxel_downsample(points: np.ndarray, voxel_size: float) -> np.ndarray:
+    """Average points within occupied voxels (open3d
+    voxel_down_sample analogue used by the ICP path,
+    Minkloc3D_V2/misc/point_clouds.py:36-44)."""
+    pts = np.asarray(points, np.float64)
+    keys = np.floor(pts / voxel_size).astype(np.int64)
+    _, inv, counts = np.unique(keys, axis=0, return_inverse=True, return_counts=True)
+    sums = np.zeros((counts.shape[0], 3))
+    np.add.at(sums, inv, pts)
+    return (sums / counts[:, None]).astype(points.dtype)
+
+
+def icp_point_to_point(
+    source: np.ndarray,
+    target: np.ndarray,
+    init_transform: Optional[np.ndarray] = None,
+    max_iterations: int = 200,
+    inlier_dist_threshold: float = 1.2,
+    tol: float = 1e-7,
+) -> Tuple[np.ndarray, float]:
+    """Point-to-point ICP (open3d registration_icp analogue,
+    Minkloc3D_V2/misc/point_clouds.py:31-60 — no open3d on TPU hosts).
+
+    Returns ``(4x4 transform, inlier RMSE)``.
+    """
+    from sklearn.neighbors import KDTree
+
+    src = np.asarray(source, np.float64)
+    tgt = np.asarray(target, np.float64)
+    T = np.eye(4) if init_transform is None else np.asarray(init_transform, np.float64)
+    tree = KDTree(tgt)
+    prev_err = np.inf
+    for _ in range(max_iterations):
+        cur = src @ T[:3, :3].T + T[:3, 3]
+        dist, idx = tree.query(cur)
+        mask = dist[:, 0] <= inlier_dist_threshold
+        if mask.sum() < 3:
+            break
+        p = cur[mask]
+        q = tgt[idx[mask, 0]]
+        err = float(np.sqrt((dist[mask, 0] ** 2).mean()))
+        if abs(prev_err - err) < tol:
+            prev_err = err
+            break
+        prev_err = err
+        mp, mq = p.mean(0), q.mean(0)
+        h = (p - mp).T @ (q - mq)
+        u, _, vt = np.linalg.svd(h)
+        d = np.sign(np.linalg.det(vt.T @ u.T))
+        r = vt.T @ np.diag([1.0, 1.0, d]) @ u.T
+        t = mq - r @ mp
+        delta = np.eye(4)
+        delta[:3, :3] = r
+        delta[:3, 3] = t
+        T = delta @ T
+    return T, prev_err

@@ -94,3 +94,45 @@ class TestVisualization:
         b = rng.rand(10, 2)
         out = viz.compare_pose_errors(a, b, ("m1", "m2"))
         assert "rre_mean" in out["m1"] and out["m2"]["n"] == 10
+
+
+class TestGeometryExtras:
+    def test_nn_dist(self, rng):
+        c = rng.rand(10, 3)
+        d = utils.geometry.nn_dist(c) if hasattr(utils, "geometry") else None
+        from patchaugnet_tpu.utils.geometry import nn_dist
+
+        d = nn_dist(c)
+        assert d.shape == (10, 10)
+        np.testing.assert_allclose(np.diag(d), 0, atol=1e-9)
+        np.testing.assert_allclose(d[1, 2], np.linalg.norm(c[1] - c[2]))
+
+    def test_voxel_downsample(self, rng):
+        from patchaugnet_tpu.utils.geometry import voxel_downsample
+
+        pts = rng.rand(500, 3).astype(np.float32)
+        out = voxel_downsample(pts, 0.25)
+        assert 0 < len(out) <= 4 ** 3 + 30
+        # averaging keeps points within their voxel
+        assert np.isfinite(out).all()
+
+    def test_icp_recovers_transform(self, rng):
+        from patchaugnet_tpu.utils.geometry import icp_point_to_point
+        from patchaugnet_tpu.utils import rotation_matrix_z
+
+        src = rng.rand(300, 3) * 5
+        r = rotation_matrix_z(0.1)
+        t = np.array([0.2, -0.1, 0.05])
+        tgt = src @ r.T + t
+        T, err = icp_point_to_point(src, tgt, max_iterations=100)
+        np.testing.assert_allclose(T[:3, :3], r, atol=1e-3)
+        np.testing.assert_allclose(T[:3, 3], t, atol=1e-3)
+        assert err < 1e-3
+
+    def test_nn_angle_shape(self, rng):
+        from patchaugnet_tpu.utils.geometry import nn_angle
+
+        c = rng.rand(12, 3).astype(np.float32)
+        a = nn_angle(c, k=3)
+        assert a.shape == (1, 3, 12, 12)
+        assert np.abs(a).max() <= 1.0 + 1e-5
