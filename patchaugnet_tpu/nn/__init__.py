@@ -13,7 +13,7 @@ from .vlad import (
     PPTSpatialPyramidNetVLAD,
     NetVLADLoupe,
 )
-from .pointnet import STN3D, PointNetEncoder, PointNetDecoder
+from .pointnet import STN3D, PointNetEncoder, PointNetDecoder, PointNetAutoencoder
 from .extras import (
     SEAttention,
     ChannelAttention,
@@ -45,6 +45,7 @@ __all__ = [
     "STN3D",
     "PointNetEncoder",
     "PointNetDecoder",
+    "PointNetAutoencoder",
     "SEAttention",
     "ChannelAttention",
     "SpatialAttention",

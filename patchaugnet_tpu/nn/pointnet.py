@@ -79,6 +79,24 @@ class PointNetEncoder(nn.Module):
         return nn.Dense(self.embedding_size, name="fc")(h)
 
 
+class PointNetAutoencoder(nn.Module):
+    """Encoder+decoder composite (pointnet_autoencoder.py:114-139)."""
+
+    embedding_size: int
+    output_num_points: int = 1024
+    normalize: bool = True
+
+    @nn.compact
+    def __call__(self, x: jax.Array, *, train: bool = False):
+        z = PointNetEncoder(self.embedding_size, name="encoder")(x, train=train)
+        if self.normalize:
+            z = z / jnp.maximum(jnp.linalg.norm(z, axis=-1, keepdims=True), 1e-12)
+        y = PointNetDecoder(
+            self.embedding_size, self.output_num_points, name="decoder"
+        )(z, train=train)
+        return y, z
+
+
 class PointNetDecoder(nn.Module):
     """FC decoder: embedding -> ``num_points x 3`` patch with tanh range
     (pointnet_autoencoder.py:85-111)."""

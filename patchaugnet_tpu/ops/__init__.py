@@ -14,6 +14,7 @@ from .grouping import (
     three_nn,
     three_interpolate,
     interpolate_features,
+    query_and_group,
     query_and_group_edge,
     group_all,
     GroupedEdgeFeatures,
@@ -46,6 +47,7 @@ __all__ = [
     "three_nn",
     "three_interpolate",
     "interpolate_features",
+    "query_and_group",
     "query_and_group_edge",
     "group_all",
     "GroupedEdgeFeatures",

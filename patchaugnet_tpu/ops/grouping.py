@@ -167,6 +167,36 @@ def query_and_group_edge(
     return GroupedEdgeFeatures(new_features, o_grouped_xyz, idx)
 
 
+def query_and_group(
+    xyz: jax.Array,
+    new_xyz: Optional[jax.Array],
+    features: Optional[jax.Array],
+    *,
+    nsample: int,
+    radius: Optional[float] = None,
+    use_xyz: bool = True,
+    idx: Optional[jax.Array] = None,
+) -> jax.Array:
+    """Plain (non-edge) query+group (reference ``QueryAndGroup``,
+    pointops.py:476-516): grouped xyz centred on the query, grouped
+    features NOT centred. Returns ``(b, m, k, 3 + c)``."""
+    if new_xyz is None:
+        new_xyz = xyz
+    if idx is None:
+        if radius is not None:
+            idx = ball_query(radius, nsample, xyz, new_xyz)
+        else:
+            idx = dilated_knn(xyz, new_xyz, nsample, 1)
+    grouped_xyz = group(xyz, idx) - new_xyz[:, :, None, :]
+    if features is not None:
+        grouped_feats = group(features, idx)
+        if use_xyz:
+            return jnp.concatenate([grouped_xyz, grouped_feats], axis=-1)
+        return grouped_feats
+    assert use_xyz
+    return grouped_xyz
+
+
 def group_all(xyz: jax.Array, features: Optional[jax.Array], use_xyz: bool = True) -> jax.Array:
     """Reference ``GroupAll`` (pointops.py:637-661): one group of all points.
 
