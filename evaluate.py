@@ -41,6 +41,8 @@ def get_args():
                    help="dump top-k feature-space neighbours for reranking")
     p.add_argument("--platform", type=str, default=None,
                    help="force jax platform (e.g. cpu)")
+    p.add_argument("--devices", type=int, default=1,
+                   help="shard descriptor extraction over a device mesh")
     args = p.parse_args()
     if args.platform:
         import jax
@@ -99,7 +101,21 @@ def main():
     else:
         logger.info("no --weight given: evaluating a randomly initialised model")
 
-    forward = train.build_forward_fn(model, cfg)
+    if args.devices > 1:
+        # embarrassingly-parallel record sharding (SURVEY §5.8): batch
+        # rows split over the mesh, descriptors gathered replicated
+        from patchaugnet_tpu import parallel
+
+        mesh = parallel.make_mesh(args.devices)
+        pfwd = parallel.build_parallel_forward(model, mesh)
+
+        def forward(variables, clouds):
+            return pfwd(variables, parallel.shard_batch(mesh, clouds))
+
+        assert args.batch_size % args.devices == 0, "batch must split evenly"
+        logger.info(f"sharded eval over {args.devices} devices")
+    else:
+        forward = train.build_forward_fn(model, cfg)
     out = train.evaluate(
         state.variables, forward, test_ds,
         top_k=25, batch_size=args.batch_size, logger=logger,

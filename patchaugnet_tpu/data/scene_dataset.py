@@ -441,26 +441,40 @@ class SceneDataset:
         if save_model_type is not None:
             g_dir = self.g_desc_dir(save_model_type)
             os.makedirs(g_dir, exist_ok=True)
-        for s in range(0, n, batch_size):
-            idx = list(range(s, min(s + batch_size, n)))
-            clouds, _ = self.get_clouds(idx)
-            pad = batch_size - len(idx)
-            if pad:
-                clouds = np.concatenate([clouds, np.repeat(clouds[-1:], pad, 0)])
-            t0 = time.perf_counter()
-            out = np.asarray(forward_fn(clouds))
-            dt = time.perf_counter() - t0
-            if stat_time:
-                times.append(dt / batch_size)
-            out = out[: len(idx)]
-            if g_dir is not None:
-                # per-record pickle of the (1, C) descriptor
-                # (scene_dataset.py:694-698)
-                for bi, rec_idx in enumerate(idx):
-                    with open(os.path.join(g_dir, f"{rec_idx}.pickle"), "wb") as f:
-                        pickle.dump(out[bi].reshape(1, -1), f,
-                                    protocol=pickle.HIGHEST_PROTOCOL)
-            descs.append(out)
+        # double-buffered: enqueue batch i+1 before fetching batch i so
+        # host IO overlaps device compute (the reference synchronises
+        # per batch, scene_dataset.py:666-686)
+        pending = None          # (device_out, idx, t_enqueue)
+        starts = list(range(0, n, batch_size))
+        for bi, s in enumerate(starts + [None]):
+            if s is not None:
+                idx = list(range(s, min(s + batch_size, n)))
+                clouds, _ = self.get_clouds(idx)
+                pad = batch_size - len(idx)
+                if pad:
+                    clouds = np.concatenate(
+                        [clouds, np.repeat(clouds[-1:], pad, 0)]
+                    )
+                t0 = time.perf_counter()
+                handle = forward_fn(clouds)
+            else:
+                handle = None
+            if pending is not None:
+                p_handle, p_idx, p_t0 = pending
+                out = np.asarray(p_handle)[: len(p_idx)]
+                if stat_time:
+                    times.append((time.perf_counter() - p_t0) / batch_size)
+                if g_dir is not None:
+                    # per-record pickle of the (1, C) descriptor
+                    # (scene_dataset.py:694-698)
+                    for k, rec_idx in enumerate(p_idx):
+                        with open(
+                            os.path.join(g_dir, f"{rec_idx}.pickle"), "wb"
+                        ) as f:
+                            pickle.dump(out[k].reshape(1, -1), f,
+                                        protocol=pickle.HIGHEST_PROTOCOL)
+                descs.append(out)
+            pending = (handle, idx, t0) if s is not None else None
         self.global_descs = np.concatenate(descs)
         if stat_time and times:
             # skip the first (compile) batch like the reference skips

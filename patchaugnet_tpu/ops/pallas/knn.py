@@ -19,6 +19,7 @@ is exact — hence the split.)
 from __future__ import annotations
 
 from functools import partial
+from typing import Optional
 
 import jax
 import jax.numpy as jnp
@@ -74,6 +75,45 @@ def topk_extract_pallas(
     )(dist.astype(jnp.float32))
 
 
+def topk_extract_chunked(
+    dist: jax.Array,
+    k: int,
+    query_block: int = 256,
+    num_chunks: Optional[int] = None,
+    interpret: bool = False,
+):
+    """Two-level exact k-smallest: per-chunk extraction then a merge
+    extraction over the ``num_chunks * k`` survivors.
+
+    Sweep cost per row drops from ``k * n`` to ``k * (n/C + C*k)``
+    (minimised near ``C = sqrt(n/k)``) while staying exact: the top-k of
+    a union of per-chunk top-ks is the global top-k, and candidate list
+    order (chunk-major, rank-minor) preserves lowest-global-index
+    tie-breaking.
+    """
+    b, m, n = dist.shape
+    if num_chunks is None:
+        num_chunks = max(int(round((n / max(k, 1)) ** 0.5)), 1)
+        while num_chunks > 1 and n % num_chunks:
+            num_chunks -= 1
+    c = num_chunks
+    if c <= 1 or n % c or n // c < k:
+        return topk_extract_pallas(dist, k, query_block, interpret=interpret)
+    sub = n // c
+    d4 = dist.reshape(b, m * c, sub)                       # chunk-major rows
+    qb1 = query_block
+    while (m * c) % qb1:
+        qb1 //= 2
+    li, lv = topk_extract_pallas(d4, k, qb1, interpret=interpret)
+    li = li.reshape(b, m, c, k)
+    offsets = (jnp.arange(c, dtype=jnp.int32) * sub)[None, None, :, None]
+    cand_idx = (li + offsets).reshape(b, m, c * k)
+    cand_val = lv.reshape(b, m, c * k)
+    mi, mv = topk_extract_pallas(cand_val, k, query_block, interpret=interpret)
+    idx = jnp.take_along_axis(cand_idx, mi, axis=-1)
+    return idx, mv
+
+
 def knn_pallas(
     xyz: jax.Array,
     new_xyz: jax.Array,
@@ -83,4 +123,4 @@ def knn_pallas(
 ):
     """Exact kNN: ``(b, n, 3) x (b, m, 3) -> idx (b, m, k), d2 (b, m, k)``."""
     d = pairwise_sqdist(new_xyz, xyz)
-    return topk_extract_pallas(d, k, query_block, interpret=interpret)
+    return topk_extract_chunked(d, k, query_block, interpret=interpret)

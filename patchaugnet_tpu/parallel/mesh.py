@@ -34,6 +34,10 @@ def make_mesh(
     """1-D data-parallel mesh over the first ``num_devices`` devices."""
     devices = jax.devices()
     if num_devices is not None:
+        assert len(devices) >= num_devices, (
+            f"requested {num_devices} devices, have {len(devices)} "
+            f"(set --xla_force_host_platform_device_count for CPU tests)"
+        )
         devices = devices[:num_devices]
     return Mesh(np.array(devices), (axis_name,))
 
