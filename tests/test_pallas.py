@@ -48,3 +48,24 @@ class TestPallasKNN:
         assert _pallas_query_block(1024) == 256
         assert _pallas_query_block(1000) == 200
         assert _pallas_query_block(257 * 2) is None or 514 % _pallas_query_block(514) == 0
+
+
+class TestChunkedExtraction:
+    def test_exact_with_ties(self, rng):
+        from patchaugnet_tpu.ops.pallas.knn import topk_extract_chunked
+
+        d = rng.rand(2, 64, 240).astype(np.float32)
+        d[:, :, ::13] = d[:, :, 0:1]                       # inject ties
+        gi, gv = topk_extract_chunked(jnp.asarray(d), 9, 64, num_chunks=4,
+                                      interpret=True)
+        neg, ri = jax.lax.top_k(-jnp.asarray(d), 9)
+        np.testing.assert_array_equal(np.asarray(ri), np.asarray(gi))
+        np.testing.assert_allclose(np.asarray(-neg), np.asarray(gv), atol=1e-6)
+
+    def test_fallback_when_chunks_too_small(self, rng):
+        from patchaugnet_tpu.ops.pallas.knn import topk_extract_chunked
+
+        d = jnp.asarray(rng.rand(1, 32, 40).astype(np.float32))
+        gi, _ = topk_extract_chunked(d, 20, 32, interpret=True)
+        _, ri = jax.lax.top_k(-d, 20)
+        np.testing.assert_array_equal(np.asarray(ri), np.asarray(gi))
