@@ -8,7 +8,7 @@ from .mesh import (
     build_parallel_forward,
     pad_to_multiple,
 )
-from .sharded_ops import sharded_knn, sharded_fps
+from .sharded_ops import sharded_knn, sharded_fps, sharded_topk_neighbors
 
 __all__ = [
     "make_mesh",
@@ -20,4 +20,5 @@ __all__ = [
     "pad_to_multiple",
     "sharded_knn",
     "sharded_fps",
+    "sharded_topk_neighbors",
 ]

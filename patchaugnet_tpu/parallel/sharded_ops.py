@@ -69,6 +69,31 @@ def sharded_knn(
     return fn(xyz, new_xyz)
 
 
+def sharded_topk_neighbors(
+    queries: jax.Array,
+    database: jax.Array,
+    k: int,
+    mesh: Mesh,
+    axis_name: str = "data",
+) -> Tuple[jax.Array, jax.Array]:
+    """Descriptor retrieval with the database sharded over the mesh.
+
+    For databases beyond one chip's HBM: each device holds a database
+    shard, computes its exact top-k, and the per-shard candidates merge
+    over ICI — identical results to
+    :func:`patchaugnet_tpu.data.retrieval.topk_neighbors`.
+
+    Args:
+      queries: ``(q, d)`` replicated; database: ``(m, d)``, m axis
+      sharded ``P(axis)``.
+    Returns replicated ``(d2, idx)`` in ascending distance order.
+    """
+    idx, d2 = sharded_knn(
+        database[None], queries[None], k, mesh, axis_name=axis_name
+    )
+    return d2[0], idx[0]
+
+
 def sharded_fps(
     xyz: jax.Array,
     m: int,

@@ -215,3 +215,17 @@ class TestShardedOps:
         ref_i, _ = ops.knn(x, x[:, :32], 16)
         got_i, _ = sharded_knn(x, x[:, :32], 16, mesh)
         np.testing.assert_array_equal(np.asarray(ref_i), np.asarray(got_i))
+
+    def test_sharded_retrieval_matches_single_device(self, rng):
+        from patchaugnet_tpu.data import retrieval
+        from patchaugnet_tpu.parallel.sharded_ops import sharded_topk_neighbors
+
+        mesh = parallel.make_mesh(4)
+        q = rng.randn(20, 16).astype(np.float32)
+        db = rng.randn(128, 16).astype(np.float32)
+        ref_d, ref_i = retrieval.topk_neighbors(q, db, 7)
+        got_d, got_i = sharded_topk_neighbors(
+            jnp.asarray(q), jnp.asarray(db), 7, mesh
+        )
+        np.testing.assert_array_equal(ref_i, np.asarray(got_i))
+        np.testing.assert_allclose(ref_d, np.asarray(got_d), atol=1e-4)
