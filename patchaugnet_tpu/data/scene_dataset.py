@@ -520,6 +520,44 @@ class SceneDataset:
                 out[qt, rt] = res
         return out
 
+    def print_stat_info(self) -> Dict[str, float]:
+        """Dataset statistics report (reference print_stat_info,
+        scene_dataset.py:66-97): trip pairs, avg queries/maps per pair,
+        avg positives per query."""
+        is_test = self.data_cfg["is_test_dataset"]
+        test_query_trips = self.data_cfg["test_query_trips"]
+        sample_indices = self.trip_indices()
+        n_trip_pair = n_query = n_map = n_pos = 0
+        for rt in range(len(self.trip_names)):
+            for qt in range(len(self.trip_names)):
+                if test_query_trips is not None and self.trip_names[qt] not in test_query_trips:
+                    continue
+                if is_test and qt == rt:
+                    continue
+                n_trip_pair += 1
+                n_map += len(sample_indices[rt])
+                for q in sample_indices[qt]:
+                    tp = self.get_tuple(q, rt, is_test).positive_indices
+                    if tp:
+                        n_query += 1
+                        n_pos += len(tp)
+        if n_query:
+            n_pos /= n_query
+        if n_trip_pair:
+            n_query /= n_trip_pair
+            n_map /= n_trip_pair
+        stats = {
+            "n_trip_pair": n_trip_pair,
+            "n_query": n_query,
+            "n_map": n_map,
+            "n_pos_per_query": n_pos,
+        }
+        print(
+            f"n_trip_pair: {n_trip_pair}, n_query: {n_query}, "
+            f"n_map: {n_map}, n_pos_per_query: {n_pos}"
+        )
+        return stats
+
     def find_top_k_feat_train(self, top_k: int = 300) -> Dict[int, Dict]:
         """Training-mode top-k dump for rerank training
         (scene_dataset.py:884-925): labelled candidate lists per query —
