@@ -89,16 +89,16 @@ def dilated_knn(
     The reference queries ``dilation * k`` candidates and then indexes the
     **first k** of them with ``torch.randperm(k)`` (pointops.py:553-555) —
     i.e. a shared random permutation of the true k nearest, *not* a sample
-    of the dilated candidate set. Downstream consumers (SharedMLP +
-    neighbour max-pool, chamfer on grouped patches) are permutation
-    invariant, so when ``key`` is ``None`` we keep sorted order and skip
-    the shuffle.
+    of the dilated candidate set. The first k of the (sorted) dilated
+    candidates ARE the plain k nearest, so only k neighbours are ever
+    extracted here (halves the selection sweeps at the reference's
+    KNN_DILATION=2 with identical indices). Downstream consumers
+    (SharedMLP + neighbour max-pool, chamfer on grouped patches) are
+    permutation invariant, so when ``key`` is ``None`` the shuffle is
+    skipped too.
     """
-    if dilation <= 1:
-        return knn(xyz, new_xyz, k, approx_recall)[0]
-    idx, _ = knn(xyz, new_xyz, dilation * k, approx_recall)
-    idx = idx[..., :k]
-    if key is not None:
+    idx, _ = knn(xyz, new_xyz, k, approx_recall)
+    if dilation > 1 and key is not None:
         perm = jax.random.permutation(key, k)
         idx = idx[..., perm]
     return idx

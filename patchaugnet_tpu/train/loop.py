@@ -92,6 +92,11 @@ def train_one_epoch(
         state, metrics = train_step(state, jnp.asarray(batch.clouds), corr, mask)
         total_iterations += batch_size
         count += 1
+        # one stacked transfer instead of a round-trip per metric (the
+        # per-scalar fetch costs ~28 ms each through the axon tunnel)
+        keys = sorted(metrics)
+        vals = np.asarray(jnp.stack([metrics[k] for k in keys]))
+        metrics = dict(zip(keys, vals))
         for k, v in metrics.items():
             epoch_losses.setdefault(k, []).append(float(v))
         if writer is not None:
