@@ -35,6 +35,8 @@ ITERS = 20
 def main():
     import numpy as np
     import jax
+
+    jax.config.update("jax_default_matmul_precision", "float32")
     import jax.numpy as jnp
 
     from __graft_entry__ import FULL_PARAM

@@ -70,6 +70,13 @@ def get_args():
 def main():
     cfg, args = get_args()
 
+    import jax
+
+    # near-duplicate submaps rank incorrectly under the TPU default
+    # (1-pass bf16) matmul precision; 3-pass bf16 restores f32-grade
+    # descriptor fidelity for ~10% throughput (see BASELINE.md)
+    jax.config.update("jax_default_matmul_precision", "float32")
+
     import numpy as np
 
     random.seed(cfg.get("MANUAL_SEED", 123))
