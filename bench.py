@@ -7,12 +7,19 @@ with cuda-synchronized batches of 100, scene_dataset.py:531-539,
 710-711; BASELINE.md north-star: descriptors/sec/chip).
 
 Prints ONE JSON line:
-  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N,
+   "mfu": ..., "hbm_util": ..., "batch100_desc_per_sec": ...}
 
 vs_baseline: no reference numbers are committed anywhere in the
 reference repo (BASELINE.md) — the divisor is a documented estimate of
 the PyTorch/CUDA reference on A100 (250 desc/s for PatchAugNet at
 batch 100, i.e. ~4 ms/cloud).
+
+mfu / hbm_util ground the number in hardware limits (VERDICT round 1):
+FLOPs and bytes-accessed come from XLA cost analysis of the compiled
+forward; peaks are TPU v5e datasheet values (197 TFLOP/s bf16,
+819 GB/s HBM). The model is gather-dominated — the honest roofline is
+HBM bandwidth, not the MXU.
 
 Timing note: on the axon tunnel ``block_until_ready`` returns at
 enqueue; we therefore enqueue K batches (in-order device queue) and
@@ -26,10 +33,40 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 REFERENCE_A100_DESC_PER_SEC = 250.0  # documented estimate, see docstring
+V5E_PEAK_BF16_FLOPS = 197e12   # TPU v5e peak, bf16 MXU
+V5E_PEAK_HBM_BYTES = 819e9     # TPU v5e HBM bandwidth
 BATCH = 32
 N_POINTS = 4096
 WARMUP = 3
 ITERS = 20
+BATCH100_ITERS = 8  # reference eval protocol batch size (evaluate.py:170)
+
+
+def _cost(compiled):
+    cost = compiled.cost_analysis()
+    if isinstance(cost, (list, tuple)):
+        cost = cost[0] if cost else {}
+    return cost or {}
+
+
+def _throughput(forward, variables, batch, iters, warmup=WARMUP):
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+
+    xs = [
+        jax.random.uniform(jax.random.PRNGKey(i + 1), (batch, N_POINTS, 3))
+        for i in range(iters)
+    ]
+    for i in range(warmup):
+        np.asarray(forward(variables, xs[i % len(xs)]))
+    t0 = time.perf_counter()
+    out = None
+    for xi in xs:
+        out = forward(variables, xi)
+    np.asarray(out)  # in-order queue: waits for all iters batches
+    dt = time.perf_counter() - t0
+    return batch * iters / dt, dt / iters
 
 
 def main():
@@ -47,26 +84,28 @@ def main():
     x = jax.random.uniform(rng, (BATCH, N_POINTS, 3), jnp.float32)
     variables = jax.jit(lambda k, a: model.init(k, a))(rng, x)
 
-    @jax.jit
-    def forward(variables, clouds):
+    def fwd(variables, clouds):
         return model.apply(variables, clouds, train=False).global_desc
 
-    xs = [
-        jax.random.uniform(jax.random.PRNGKey(i + 1), (BATCH, N_POINTS, 3))
-        for i in range(ITERS)
-    ]
-    # warm up + compile, force real completion via host transfer
-    for i in range(WARMUP):
-        np.asarray(forward(variables, xs[i % len(xs)]))
+    forward = jax.jit(fwd)
+    compiled = forward.lower(variables, x).compile()
+    cost = _cost(compiled)
+    flops_per_batch = float(cost.get("flops", float("nan")))
+    bytes_per_batch = float(cost.get("bytes accessed", float("nan")))
 
-    t0 = time.perf_counter()
-    out = None
-    for xi in xs:
-        out = forward(variables, xi)
-    np.asarray(out)  # in-order queue: waits for all ITERS batches
-    dt = time.perf_counter() - t0
+    desc_per_sec, sec_per_batch = _throughput(forward, variables, BATCH, ITERS)
 
-    desc_per_sec = BATCH * ITERS / dt
+    # Reference eval protocol uses batch 100 (evaluate.py:170); report it
+    # alongside the batch-32 headline.
+    x100 = jax.random.uniform(rng, (100, N_POINTS, 3), jnp.float32)
+    forward100 = jax.jit(fwd)
+    forward100.lower(variables, x100).compile()
+    b100_desc_per_sec, _ = _throughput(
+        forward100, variables, 100, BATCH100_ITERS, warmup=2
+    )
+
+    mfu = flops_per_batch / sec_per_batch / V5E_PEAK_BF16_FLOPS
+    hbm_util = bytes_per_batch / sec_per_batch / V5E_PEAK_HBM_BYTES
     print(
         json.dumps(
             {
@@ -74,6 +113,10 @@ def main():
                 "value": round(desc_per_sec, 2),
                 "unit": "descriptors/s",
                 "vs_baseline": round(desc_per_sec / REFERENCE_A100_DESC_PER_SEC, 3),
+                "mfu": round(mfu, 4),
+                "hbm_util": round(hbm_util, 4),
+                "flops_per_cloud": round(flops_per_batch / BATCH),
+                "batch100_desc_per_sec": round(b100_desc_per_sec, 2),
             }
         )
     )
