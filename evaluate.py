@@ -37,8 +37,14 @@ def get_args():
     p.add_argument("--exp_dir", type=str, default="exp")
     p.add_argument("--batch_size", type=int, default=100)
     p.add_argument("--top_k", type=int, default=300, help="feature-space dump size")
-    p.add_argument("--save_top_k", action="store_true",
-                   help="dump top-k feature-space neighbours for reranking")
+    # the reference always runs the top-k dump before recall
+    # (evaluate.py:171); opt out rather than in
+    p.add_argument("--no_save_top_k", action="store_true",
+                   help="skip the top-k rerank dump before recall")
+    p.add_argument("--top_k_space", type=str, default="feat",
+                   choices=["feat", "euc"], help="top-k dump space")
+    p.add_argument("--no_save_descs", action="store_true",
+                   help="skip the per-record global/local descriptor store")
     p.add_argument("--platform", type=str, default=None,
                    help="force jax platform (e.g. cpu)")
     p.add_argument("--devices", type=int, default=1,
@@ -121,24 +127,42 @@ def main():
 
         assert args.batch_size % args.devices == 0, "batch must split evenly"
         logger.info(f"sharded eval over {args.devices} devices")
+        save_model_type = None       # sharded path extracts globals only
     else:
-        forward = train.build_forward_fn(model, cfg)
+        # write the per-record descriptor store (reference run(),
+        # evaluate.py:170 save=True) — synthetic scenes have no data dir
+        save_model_type = (
+            args.model_type
+            if not args.no_save_descs and args.dataset != "synthetic"
+            else None
+        )
+        forward = None
+        if save_model_type is not None:
+            forward = train.build_local_forward_fn(model, cfg)
+        if forward is None:
+            forward = train.build_forward_fn(model, cfg)
     out = train.evaluate(
         state.variables, forward, test_ds,
         top_k=25, batch_size=args.batch_size, logger=logger,
+        save_model_type=save_model_type,
     )
     if out.get("desc_time"):
         logger.info(
             f"run time: {out['desc_time']['mean_ms']:.2f} +- "
             f"{out['desc_time']['std_ms']:.2f} ms per cloud"
         )
-    if args.save_top_k:
-        top = test_ds.find_and_save_top(top_k=args.top_k, space_type="feat")
+    if not args.no_save_top_k:
+        top = test_ds.find_and_save_top(
+            model_type=args.model_type, top_k=args.top_k,
+            space_type=args.top_k_space,
+            save=args.dataset != "synthetic",
+        )
         import pickle
 
         os.makedirs(args.exp_dir, exist_ok=True)
         path = os.path.join(
-            args.exp_dir, f"top_k_feat_{args.model_type}_{args.dataset}.pickle"
+            args.exp_dir,
+            f"top_k_{args.top_k_space}_{args.model_type}_{args.dataset}.pickle",
         )
         with open(path, "wb") as f:
             pickle.dump(top, f)

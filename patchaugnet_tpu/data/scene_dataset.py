@@ -28,6 +28,7 @@ import os
 import pickle
 import random
 import time
+from collections import deque
 from dataclasses import dataclass, field
 from typing import Callable, Dict, List, Optional, Sequence, Set, Tuple
 
@@ -36,7 +37,7 @@ import pandas as pd
 
 from . import retrieval
 from .dataset_info import dataset_info_dict
-from .pointclouds import load_pc_files, normalize_point_clouds
+from .pointclouds import load_pc_file, normalize_point_cloud
 
 
 @dataclass
@@ -93,6 +94,15 @@ class SceneDataset:
         # in-memory overlap correspondences: (q_idx, p_idx) -> list of
         # (idx1, near2[list], far2[list], bad_far2[list])
         self.overlap_store: Dict[Tuple[int, int], List] = {}
+        # size-bounded FIFO caches, reference scene_dataset.py:51-55
+        self.cache_size = 1000
+        self._pc_cache: Dict[int, Tuple[Tuple, np.ndarray, Dict]] = {}
+        self._pc_order: deque = deque()
+        self._g_desc_cache: Dict[int, np.ndarray] = {}
+        self._g_order: deque = deque()
+        # local kpt/desc cache for the rerank pipeline (:810-841)
+        self._l_cache: Dict[int, Tuple[np.ndarray, np.ndarray, Dict]] = {}
+        self._l_order: deque = deque()
 
     # ------------------------------------------------------------- misc
     def __len__(self) -> int:
@@ -128,6 +138,9 @@ class SceneDataset:
         self.global_descs = None
         self.hard_negative_indices = {}
         self._clouds = None
+        self._pc_cache, self._pc_order = {}, deque()
+        self._g_desc_cache, self._g_order = {}, deque()
+        self._l_cache, self._l_order = {}, deque()
 
     # ----------------------------------------------------------- create
     def create(self, max_neg: int = 10000, save: bool = True) -> None:
@@ -322,32 +335,65 @@ class SceneDataset:
         }
 
     # --------------------------------------------------------- clouds
+    def _load_raw_clouds(self, indices: Sequence[int]) -> List[np.ndarray]:
+        """Raw clouds with the registry global offset applied (the
+        reference subtracts it on every load, scene_dataset.py:722)."""
+        offset = np.asarray(self.data_cfg.get("global_offset", 0.0))
+        if self._clouds is not None:
+            return [self._clouds[i] - offset for i in indices]
+        files = [self.records.iloc[i]["file"] for i in indices]
+        if (
+            not self.data_cfg["self_collected"]
+            and self.data_cfg["cloud_dtype"] == np.float64
+        ):
+            from . import fast_loader
+
+            if fast_loader.available():
+                clouds, _, _ = fast_loader.load_clouds(
+                    files, self.num_points, normalize=False
+                )
+                return [c - offset for c in np.asarray(clouds)]
+        return [
+            load_pc_file(
+                f, dtype=self.data_cfg["cloud_dtype"],
+                use_np_load=self.data_cfg["self_collected"],
+            ) - offset
+            for f in files
+        ]
+
     def get_clouds(
         self, indices: Sequence[int], normalize: bool = True
     ) -> Tuple[np.ndarray, List[Dict]]:
-        """Load + (optionally) normalise clouds for dataset-global indices."""
-        if self._clouds is not None:
-            pcs = [self._clouds[i].copy() for i in indices]
-        else:
-            files = [self.records.iloc[i]["file"] for i in indices]
-            if (
-                not self.data_cfg["self_collected"]
-                and self.data_cfg["cloud_dtype"] == np.float64
-            ):
-                from . import fast_loader
+        """Load + (optionally) normalise clouds for dataset-global indices.
 
-                if fast_loader.available():
-                    clouds, _, _ = fast_loader.load_clouds(
-                        files, self.num_points, normalize=False
-                    )
-                    return clouds, [{} for _ in files]
-            pcs = load_pc_files(
-                files, "", dtype=self.data_cfg["cloud_dtype"],
-                use_np_load=self.data_cfg["self_collected"],
-            )
-        metas: List[Dict] = [{} for _ in pcs]
-        if normalize and self.data_cfg["self_collected"]:
-            pcs, metas = normalize_point_clouds(pcs, True)
+        Per-record results are kept in a size-bounded FIFO cache
+        (reference get_pc/pc_dict, scene_dataset.py:713-741) so repeat
+        epochs over a file-backed scene skip the disk reads; unlike the
+        reference, the cache key includes the processing flags so a hit
+        can never return a differently-normalised cloud.
+        """
+        normalize = normalize and self.data_cfg["self_collected"]
+        key = (normalize,)
+        ready = {
+            i: self._pc_cache[i][1:]
+            for i in indices
+            if i in self._pc_cache and self._pc_cache[i][0] == key
+        }
+        missing = [i for i in indices if i not in ready]
+        if missing:
+            raw = self._load_raw_clouds(missing)
+            for i, pc in zip(missing, raw):
+                meta = {"scale": 1.0, "trans": np.zeros([1, 3])}
+                if normalize:
+                    pc, meta = normalize_point_cloud(pc, True)
+                ready[i] = (np.asarray(pc, np.float32), meta)
+                if i not in self._pc_cache:
+                    self._pc_order.append(i)
+                self._pc_cache[i] = (key,) + ready[i]
+                while len(self._pc_order) > self.cache_size:
+                    self._pc_cache.pop(self._pc_order.popleft(), None)
+        pcs = [ready[i][0] for i in indices]
+        metas = [ready[i][1] for i in indices]
         return np.asarray(pcs, np.float32), metas
 
     def get_training_tuple(
@@ -415,10 +461,70 @@ class SceneDataset:
             )
 
     # ------------------------------------------------------ descriptors
-    def g_desc_dir(self, model_type: str) -> str:
+    def desc_dir(self, model_type: str) -> str:
         """Reference descriptor-dump layout (scene_dataset.py:104-111)."""
         extra = "test" if self.data_cfg["is_test_dataset"] else "train"
-        return os.path.join(self.pickle_dir(), f"desc_{model_type}_{extra}", "global")
+        return os.path.join(self.pickle_dir(), f"desc_{model_type}_{extra}")
+
+    def g_desc_dir(self, model_type: str) -> str:
+        return os.path.join(self.desc_dir(model_type), "global")
+
+    def l_desc_dir(self, model_type: str) -> str:
+        return os.path.join(self.desc_dir(model_type), "local")
+
+    def euc_knn_dir(self) -> str:
+        return os.path.join(self.pickle_dir(), "euc_knn")
+
+    def get_g_desc(self, model_type: str, idx: int) -> np.ndarray:
+        """Load one stored (1, C) global descriptor (cached,
+        reference get_g_desc, scene_dataset.py:788-804)."""
+        if idx not in self._g_desc_cache:
+            path = os.path.join(self.g_desc_dir(model_type), f"{idx}.pickle")
+            with open(path, "rb") as f:
+                self._g_desc_cache[idx] = pickle.load(f)
+            self._g_order.append(idx)
+            while len(self._g_order) > self.cache_size:
+                del self._g_desc_cache[self._g_order.popleft()]
+        return self._g_desc_cache[idx]
+
+    def get_g_descs(self, model_type: str, idxs: Sequence[int]) -> List[np.ndarray]:
+        return [self.get_g_desc(model_type, i) for i in idxs]
+
+    def get_l_kpt_desc(
+        self, model_type: str, idx: int, unify_coord: bool = False
+    ) -> Tuple[np.ndarray, np.ndarray]:
+        """Load one record's local keypoints + descriptors (cached,
+        reference get_l_kpt_desc, scene_dataset.py:808-841).
+
+        unify_coord de-normalises the keypoints into the scene frame:
+        ``kpt * scale + (trans - global_offset)``.
+        """
+        if idx not in self._l_cache:
+            path = os.path.join(self.l_desc_dir(model_type), f"{idx}.pickle")
+            with open(path, "rb") as f:
+                l_kpt, l_desc, norm_meta = pickle.load(f)
+            k = np.asarray(l_kpt, np.float64).reshape(len(l_kpt), -1)
+            self._l_cache[idx] = (k, np.asarray(l_desc).reshape(len(l_desc), -1),
+                                  norm_meta)
+            self._l_order.append(idx)
+            while len(self._l_order) > self.cache_size:
+                del self._l_cache[self._l_order.popleft()]
+        kpt, desc, meta = self._l_cache[idx]
+        if unify_coord:
+            trans = np.asarray(meta["trans"]).reshape(1, -1)
+            trans = trans - np.asarray(self.data_cfg.get("global_offset", 0.0)).reshape(1, -1)[:, : trans.shape[1]]
+            kpt = kpt * meta["scale"] + trans
+        return kpt, desc
+
+    def get_l_kpts_descs(
+        self, model_type: str, idxs: Sequence[int], unify_coord: bool = False
+    ) -> Tuple[List[np.ndarray], List[np.ndarray]]:
+        kpts, descs = [], []
+        for i in idxs:
+            k, d = self.get_l_kpt_desc(model_type, i, unify_coord)
+            kpts.append(k)
+            descs.append(d)
+        return kpts, descs
 
     def make_descs(
         self,
@@ -429,27 +535,39 @@ class SceneDataset:
     ) -> Optional[Dict[str, float]]:
         """Embed the whole database.
 
-        ``forward_fn``: jitted ``(B, N, 3) -> (B, D)``. The last partial
-        batch is padded to ``batch_size`` (static shapes — one compiled
-        program for the whole sweep, unlike the per-batch-size
-        recompile hazard of dynamic frameworks).
+        ``forward_fn``: jitted ``(B, N, 3) -> (B, D)``, or, for models
+        exposing local descriptors, ``-> (global (B, D), local (B, K, C),
+        center_idx (B, K))`` — the reference's tuple-returning forward
+        (scene_dataset.py:676-679). The last partial batch is padded to
+        ``batch_size`` (static shapes — one compiled program for the
+        whole sweep, unlike the per-batch-size recompile hazard of
+        dynamic frameworks).
+
+        With ``save_model_type``, the per-record store is written in the
+        reference layout (scene_dataset.py:687-708): ``global/<i>.pickle``
+        holds the (1, C) global descriptor; when locals are available,
+        ``local/<i>.pickle`` holds ``(l_pos (K, 3), l_desc (K, C),
+        norm_meta)`` with l_pos = the (normalised) input cloud gathered
+        at the level-1 centre indices.
         """
         n = len(self.records)
         descs = []
         times = []
-        g_dir = None
+        g_dir = l_dir = None
         if save_model_type is not None:
             g_dir = self.g_desc_dir(save_model_type)
             os.makedirs(g_dir, exist_ok=True)
+            l_dir = self.l_desc_dir(save_model_type)
+            os.makedirs(l_dir, exist_ok=True)
         # double-buffered: enqueue batch i+1 before fetching batch i so
         # host IO overlaps device compute (the reference synchronises
         # per batch, scene_dataset.py:666-686)
-        pending = None          # (device_out, idx, t_enqueue)
+        pending = None    # (device_out, idx, clouds, metas, t_enqueue)
         starts = list(range(0, n, batch_size))
         for bi, s in enumerate(starts + [None]):
             if s is not None:
                 idx = list(range(s, min(s + batch_size, n)))
-                clouds, _ = self.get_clouds(idx)
+                clouds, metas = self.get_clouds(idx)
                 pad = batch_size - len(idx)
                 if pad:
                     clouds = np.concatenate(
@@ -460,8 +578,17 @@ class SceneDataset:
             else:
                 handle = None
             if pending is not None:
-                p_handle, p_idx, p_t0 = pending
-                out = np.asarray(p_handle)[: len(p_idx)]
+                p_handle, p_idx, p_clouds, p_metas, p_t0 = pending
+                locals_out = None
+                if isinstance(p_handle, (tuple, list)):
+                    g, l_desc, center_idx = p_handle
+                    out = np.asarray(g)[: len(p_idx)]
+                    locals_out = (
+                        np.asarray(l_desc)[: len(p_idx)],
+                        np.asarray(center_idx)[: len(p_idx)],
+                    )
+                else:
+                    out = np.asarray(p_handle)[: len(p_idx)]
                 if stat_time:
                     times.append((time.perf_counter() - p_t0) / batch_size)
                 if g_dir is not None:
@@ -473,8 +600,17 @@ class SceneDataset:
                         ) as f:
                             pickle.dump(out[k].reshape(1, -1), f,
                                         protocol=pickle.HIGHEST_PROTOCOL)
+                        if locals_out is not None:
+                            l_pos = p_clouds[k][locals_out[1][k]]  # (K, 3)
+                            with open(
+                                os.path.join(l_dir, f"{rec_idx}.pickle"), "wb"
+                            ) as f:
+                                pickle.dump(
+                                    (l_pos, locals_out[0][k], p_metas[k]),
+                                    f, protocol=pickle.HIGHEST_PROTOCOL,
+                                )
                 descs.append(out)
-            pending = (handle, idx, t0) if s is not None else None
+            pending = (handle, idx, clouds, metas, t0) if s is not None else None
         self.global_descs = np.concatenate(descs)
         if stat_time and times:
             # skip the first (compile) batch like the reference skips
@@ -558,6 +694,27 @@ class SceneDataset:
         )
         return stats
 
+    def get_dist(self, i: int, j: int) -> float:
+        """Planar (northing, easting) distance between two records."""
+        a = self.records.iloc[i]
+        b = self.records.iloc[j]
+        return float(
+            np.hypot(a["northing"] - b["northing"], a["easting"] - b["easting"])
+        )
+
+    def _basename_extra(self) -> str:
+        return "test" if self.data_cfg["is_test_dataset"] else "train"
+
+    def _ensure_global_descs(self, model_type: Optional[str]) -> None:
+        """The reference always reloads descriptors from the store
+        before a top-k dump (scene_dataset.py:874-876); fall back to the
+        in-memory matrix when no store exists."""
+        if model_type is not None and os.path.isdir(self.g_desc_dir(model_type)):
+            self.global_descs = np.concatenate(
+                self.get_g_descs(model_type, list(range(len(self.records))))
+            )
+        assert self.global_descs is not None, "run make_descs first"
+
     def find_top_k_feat_train(self, top_k: int = 300) -> Dict[int, Dict]:
         """Training-mode top-k dump for rerank training
         (scene_dataset.py:884-925): labelled candidate lists per query —
@@ -597,41 +754,135 @@ class SceneDataset:
                 out[i] = {"top_k": top_list, "state": states}
         return out
 
-    def find_top_k_euc(self, top_k: int = 300) -> Dict[Tuple[int, int], Dict]:
-        """Euclidean-position top-k per ref trip
-        (scene_dataset.py:977-1014): for every record, the top_k nearest
-        records of each trip by (northing, easting), skipping itself."""
-        pos = self.records[["northing", "easting"]].values.astype(np.float32)
+    def _find_top_k_feat_test(self, top_k: int = 300) -> Dict[Tuple[int, int], Dict]:
+        """Test-mode top-k dump (scene_dataset.py:927-971): per
+        (query_trip, ref_trip) pair, the full ranked top-k per query with
+        geometric state labels (1 pos / 0 neg / -1 unknown); queries
+        without true positives skipped."""
+        assert self.global_descs is not None
+        r_pos = self.data_cfg["search_radius_pos"]
+        r_neg = self.data_cfg["search_radius_neg"]
+        test_query_trips = self.data_cfg["test_query_trips"]
         sample_indices = self.trip_indices()
         out: Dict[Tuple[int, int], Dict] = {}
         for rt in range(len(self.trip_names)):
             db_idx = np.asarray(sample_indices[rt])
-            k = min(top_k + 1, len(db_idx))
-            _, nbr = retrieval.topk_neighbors(pos, pos[db_idx], k)
-            for i in range(len(self.records)):
-                found = db_idx[nbr[i]]
-                found = found[found != i][:top_k]
-                out.setdefault((i, rt), {})["euc_knn"] = found
-        return out
-
-    def find_top_k_feat(self, top_k: int = 300) -> Dict[int, Dict]:
-        """Top-k dump in feature space (scene_dataset.py:868-975) —
-        returns {query_idx: {'feat_knn': array}} per reference format."""
-        assert self.global_descs is not None
-        out = {}
-        sample_indices = self.trip_indices()
-        for rt in range(len(self.trip_names)):
-            db_idx = np.asarray(sample_indices[rt])
-            db = self.global_descs[db_idx]
-            k = min(top_k + 1, len(db_idx))
+            if len(db_idx) == 0:
+                continue
+            real_k = min(top_k, len(db_idx))
             for qt in range(len(self.trip_names)):
-                if self.data_cfg["skip_trip_itself"] and qt == rt:
+                if test_query_trips is not None and (
+                    self.trip_names[qt] not in test_query_trips
+                ):
+                    continue
+                if qt == rt:
                     continue
                 q_idx = sample_indices[qt]
-                _, nbr = retrieval.topk_neighbors(self.global_descs[q_idx], db, k)
+                _, nbr = retrieval.topk_neighbors(
+                    self.global_descs[q_idx], self.global_descs[db_idx], real_k
+                )
+                top_k_dict: Dict[int, Dict] = {}
                 for qi, q in enumerate(q_idx):
-                    found = db_idx[nbr[qi]]
-                    if qt == rt:
-                        found = found[found != q][: top_k]
-                    out.setdefault(q, {})[("feat_knn", rt)] = found[:top_k]
+                    t = self.get_tuple(q, rt, self.data_cfg["is_test_dataset"])
+                    if not t.positive_indices:
+                        continue  # may be outside the test region
+                    entry = {"top_k": [], "state": []}
+                    for j in nbr[qi]:
+                        found = int(db_idx[int(j)])
+                        dist = self.get_dist(q, found)
+                        entry["top_k"].append(found)
+                        entry["state"].append(
+                            1 if dist < r_pos else (0 if dist > r_neg else -1)
+                        )
+                    top_k_dict[q] = entry
+                out[qt, rt] = top_k_dict
+        return out
+
+    def find_top_k_feat(
+        self,
+        model_type: Optional[str] = None,
+        top_k: int = 300,
+        save: bool = False,
+    ):
+        """Feature-space top-k dump (scene_dataset.py:868-975): train
+        mode returns one labelled dict; test mode one dict per
+        (query_trip, ref_trip). With ``save`` (and ``model_type``) the
+        pickles land in the reference layout under ``desc_dir``."""
+        self._ensure_global_descs(model_type)
+        extra = self._basename_extra()
+        if not self.data_cfg["is_test_dataset"]:
+            out = self.find_top_k_feat_train(top_k)
+            if save and model_type is not None:
+                d = self.desc_dir(model_type)
+                os.makedirs(d, exist_ok=True)
+                with open(
+                    os.path.join(d, f"top_k_index_{extra}_init.pickle"), "wb"
+                ) as f:
+                    pickle.dump(out, f, protocol=pickle.HIGHEST_PROTOCOL)
+            return out
+        out = self._find_top_k_feat_test(top_k)
+        if save and model_type is not None:
+            d = self.desc_dir(model_type)
+            os.makedirs(d, exist_ok=True)
+            for (qt, rt), top_k_dict in out.items():
+                path = os.path.join(
+                    d, f"top_k_index_{extra}_{qt}_{rt}_init.pickle"
+                )
+                with open(path, "wb") as f:
+                    pickle.dump(top_k_dict, f, protocol=pickle.HIGHEST_PROTOCOL)
+        return out
+
+    def find_top_k_euc(self, top_k: int = 300, save: bool = False):
+        """Euclidean-position top-k dump (scene_dataset.py:977-1014).
+
+        Train mode: one dict over all records, nearest top_k of the
+        whole scene (skip self). Test mode: per ref trip, that trip's
+        records ranked against their own trip (skip self) — keyed
+        {ref_trip: {idx: {'euc_knn': ...}}}. Pickles land under
+        ``euc_knn_dir`` with the reference names.
+        """
+        if len(self.records) == 0:
+            return None
+        pos = self.records[["northing", "easting"]].values.astype(np.float32)
+        extra = self._basename_extra()
+        e_dir = self.euc_knn_dir()
+        if save:
+            os.makedirs(e_dir, exist_ok=True)
+        if not self.data_cfg["is_test_dataset"]:
+            k = min(top_k + 1, len(self.records))
+            _, nbr = retrieval.topk_neighbors(pos, pos, k)
+            out = {
+                i: {"euc_knn": [int(j) for j in nbr[i] if int(j) != i][:top_k]}
+                for i in range(len(self.records))
+            }
+            if save:
+                with open(
+                    os.path.join(e_dir, f"top_k_index_{extra}_init.pickle"), "wb"
+                ) as f:
+                    pickle.dump(out, f, protocol=pickle.HIGHEST_PROTOCOL)
+            return out
+        sample_indices = self.trip_indices()
+        out: Dict[int, Dict] = {}
+        for rt in range(len(self.trip_names)):
+            db_idx = np.asarray(sample_indices[rt])
+            if len(db_idx) == 0:
+                continue
+            k = min(top_k + 1, len(db_idx))
+            _, nbr = retrieval.topk_neighbors(pos[db_idx], pos[db_idx], k)
+            top_k_dict = {
+                int(q): {
+                    "euc_knn": np.asarray(
+                        [int(db_idx[j]) for j in nbr[qi] if int(db_idx[j]) != int(q)][:top_k],
+                        dtype=int,
+                    )
+                }
+                for qi, q in enumerate(db_idx)
+            }
+            out[rt] = top_k_dict
+            if save:
+                path = os.path.join(
+                    e_dir, f"top_k_index_{extra}_{rt}_init.pickle"
+                )
+                with open(path, "wb") as f:
+                    pickle.dump(top_k_dict, f, protocol=pickle.HIGHEST_PROTOCOL)
         return out

@@ -79,8 +79,11 @@ class PlaceRecognitionDataset:
         num_sample_neg: int = 3000,
         load_overlap_indices: bool = False,
         seed: int = 0,
+        num_points: Optional[int] = None,
     ):
         self.scene = SceneDataset(name, for_training)
+        if num_points is not None:
+            self.scene.num_points = num_points
         if not self.scene.load():
             raise FileNotFoundError(
                 f"dataset pickles not found under {self.scene.pickle_dir()}; "
@@ -208,7 +211,17 @@ class PlaceRecognitionDataset:
     def get_recall_precision(self, top_k: int = 25, collect_query_results=False):
         return self.scene.recall_precision_all(top_k, collect_query_results)
 
-    def find_and_save_top(self, top_k: int = 300, space_type: str = "feat"):
+    def find_and_save_top(
+        self,
+        model_type: Optional[str] = None,
+        top_k: int = 300,
+        space_type: str = "feature",
+        save: bool = False,
+    ):
+        """Top-k dump in feature or euclidean space (the reference
+        facade, place_recognition_dataset.py:45-51)."""
         if space_type in ("feature", "feat"):
-            return self.scene.find_top_k_feat(top_k)
-        raise NotImplementedError(f"space_type {space_type}")
+            return self.scene.find_top_k_feat(model_type, top_k, save=save)
+        if space_type == "euc":
+            return self.scene.find_top_k_euc(top_k, save=save)
+        raise ValueError(f"space_type {space_type}")

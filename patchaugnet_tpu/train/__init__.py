@@ -10,6 +10,7 @@ from .state import (
 from .step import (
     build_train_step,
     build_forward_fn,
+    build_local_forward_fn,
     build_center_fn,
     empty_patch_inputs,
 )
@@ -31,6 +32,7 @@ __all__ = [
     "restore_checkpoint",
     "build_train_step",
     "build_forward_fn",
+    "build_local_forward_fn",
     "build_center_fn",
     "empty_patch_inputs",
     "train_one_epoch",

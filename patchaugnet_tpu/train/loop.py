@@ -147,13 +147,19 @@ def evaluate(
     writer=None,
     epoch: int = 0,
     eval_name: str = "testing",
+    save_model_type: Optional[str] = None,
 ) -> Dict[str, Any]:
     """Epoch eval: refresh descriptors, per-trip-pair recall, averages
-    (reference eval(), train_place_recognition.py:419-488)."""
+    (reference eval(), train_place_recognition.py:419-488).
+
+    ``save_model_type`` writes the per-record descriptor store in the
+    reference layout (global + local when ``forward_fn`` returns the
+    (global, local, center_idx) tuple, scene_dataset.py:687-708)."""
     stats = test_ds.update_global_descs(
         lambda c: forward_fn(state_variables, jnp.asarray(c)),
         batch_size=batch_size,
         stat_time=True,
+        save_model_type=save_model_type,
     )
     results = test_ds.get_recall_precision(top_k=top_k)
     recall_sum, precision_sum, count = None, None, 0

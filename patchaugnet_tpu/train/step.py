@@ -147,6 +147,33 @@ def build_forward_fn(model, cfg: Dict[str, Any]) -> Callable:
     return forward
 
 
+def build_local_forward_fn(model, cfg: Dict[str, Any]) -> Optional[Callable]:
+    """Jitted ``(variables, (B, N, 3)) -> (global (B, D), local (B, K, C),
+    center_idx (B, K))`` for models that expose local descriptors — the
+    reference's tuple-returning forward consumed by the local-descriptor
+    store (scene_dataset.py:676-679, 687-708): local = the second-to-last
+    feature-propagation level, centres = level-1 indices mapped to the
+    original cloud. Returns None for models without locals
+    (pointnet_vlad, minkloc3dv2)."""
+    if not _has_local_fields(model):
+        return None
+
+    def forward(variables, clouds):
+        out = model.apply(variables, clouds, train=False)
+        return (
+            _global_desc(out),
+            out.fp_features[-2],
+            out.center_idx_origin[0],
+        )
+
+    return jax.jit(forward)
+
+
+def _has_local_fields(model) -> bool:
+    """PatchAugNet / PPT-Net outputs carry fp_features + center_idx_origin."""
+    return type(model).__name__ in ("PatchAugNet", "PPTNet")
+
+
 def build_center_fn(npoint: int) -> Callable:
     """Jitted level-0 centre extraction for host-side correspondence
     building: identical deterministic FPS to the model's first SA level,

@@ -341,20 +341,123 @@ class TestTopKDumps:
                 else:
                     assert d > ds.data_cfg["search_radius_neg"]
 
-    def test_find_top_k_euc(self):
+    def test_find_top_k_euc_train_mode(self):
+        """Train mode ranks every record against the whole scene
+        (reference scene_dataset.py:983-992)."""
         ds = self._scene_with_descs(for_training=True)
         out = ds.find_top_k_euc(top_k=5)
         pos = ds.records[["northing", "easting"]].values
-        found = out[(0, 0)]["euc_knn"]
+        found = out[0]["euc_knn"]
         assert 0 not in found  # skips itself
+        others = [i for i in range(len(ds.records)) if i != 0]
+        d = np.linalg.norm(pos[others] - pos[0], axis=1)
+        assert int(found[0]) == others[int(np.argmin(d))]
+
+    def test_find_top_k_euc_test_mode_saves(self, tmp_path, monkeypatch):
+        """Test mode: per ref trip, that trip's records against their
+        own trip, pickled with the reference names (:994-1014)."""
+        monkeypatch.setenv(data.DATA_ROOT_ENV, str(tmp_path))
+        ds = self._scene_with_descs(for_training=False)
+        os.makedirs(ds.data_dir(), exist_ok=True)
+        out = ds.find_top_k_euc(top_k=5, save=True)
+        assert set(out) == {0, 1}
         trip0 = set(ds.trip_indices()[0])
-        assert set(int(f) for f in found) <= trip0
-        # first neighbour really is the nearest in trip 0
-        d = np.linalg.norm(pos[list(sorted(trip0 - {0}))] - pos[0], axis=1)
-        nearest = sorted(trip0 - {0})[int(np.argmin(d))]
-        assert int(found[0]) == nearest
+        for q, entry in out[0].items():
+            assert q in trip0
+            found = entry["euc_knn"]
+            assert q not in found
+            assert set(int(f) for f in found) <= trip0
+        for rt in (0, 1):
+            assert os.path.exists(
+                os.path.join(ds.euc_knn_dir(), f"top_k_index_test_{rt}_init.pickle")
+            )
 
     def test_find_top_k_feat_test_mode(self):
+        """Reference format: {(qt, rt): {q: {'top_k', 'state'}}} with
+        geometric 1/0/-1 states (scene_dataset.py:927-971)."""
         ds = self._scene_with_descs(for_training=False)
         out = ds.find_top_k_feat(top_k=5)
-        assert len(out) > 0
+        assert set(out) == {(0, 1), (1, 0)}
+        r_pos = ds.data_cfg["search_radius_pos"]
+        r_neg = ds.data_cfg["search_radius_neg"]
+        checked = 0
+        for (qt, rt), top_k_dict in out.items():
+            db = set(ds.trip_indices()[rt])
+            for q, entry in top_k_dict.items():
+                assert len(entry["top_k"]) == len(entry["state"])
+                for j, s in zip(entry["top_k"], entry["state"]):
+                    assert j in db
+                    dist = ds.get_dist(q, j)
+                    expect = 1 if dist < r_pos else (0 if dist > r_neg else -1)
+                    assert s == expect
+                    checked += 1
+        assert checked > 0
+
+    def test_find_and_save_top_facade(self):
+        pr = data.PlaceRecognitionDataset.__new__(data.PlaceRecognitionDataset)
+        pr.scene = self._scene_with_descs(for_training=False)
+        feat = pr.find_and_save_top(top_k=5, space_type="feature")
+        assert (0, 1) in feat
+        euc = pr.find_and_save_top(top_k=5, space_type="euc")
+        assert 0 in euc
+        with pytest.raises(ValueError):
+            pr.find_and_save_top(space_type="nope")
+
+
+class TestDescriptorStore:
+    def test_local_store_roundtrip(self, tmp_path, monkeypatch):
+        """make_descs with a tuple-returning forward writes the reference
+        global/ + local/ layout (scene_dataset.py:687-708) and the cached
+        readers recover it (:788-841)."""
+        monkeypatch.setenv(data.DATA_ROOT_ENV, str(tmp_path))
+        ds = data.SceneDataset("synthetic", for_training=False)
+        ds.create_synthetic(n_trips=2, n_per_trip=6, num_points=32)
+        os.makedirs(ds.data_dir(), exist_ok=True)
+        K, C = 8, 4
+        rng = np.random.RandomState(0)
+        centers = rng.randint(0, 32, size=(len(ds.records), K)).astype(np.int32)
+
+        def forward(clouds):
+            g = clouds.mean(axis=1)
+            l_desc = clouds[:, :K, :].repeat(2, axis=-1)[..., :C]
+            return g, l_desc, centers[: len(clouds)]
+
+        # batch==n so the per-batch center slice above lines up
+        ds.make_descs(forward, batch_size=len(ds.records),
+                      save_model_type="patch_aug_net")
+        g_dir, l_dir = ds.g_desc_dir("patch_aug_net"), ds.l_desc_dir("patch_aug_net")
+        assert len(os.listdir(g_dir)) == len(ds.records)
+        assert len(os.listdir(l_dir)) == len(ds.records)
+        # readers
+        g0 = ds.get_g_desc("patch_aug_net", 0)
+        assert g0.shape == (1, 3)
+        np.testing.assert_allclose(g0[0], ds.global_descs[0], rtol=1e-6)
+        kpt, desc = ds.get_l_kpt_desc("patch_aug_net", 0)
+        assert kpt.shape == (K, 3) and desc.shape == (K, C)
+        clouds, _ = ds.get_clouds([0])
+        np.testing.assert_allclose(kpt, clouds[0][centers[0]], rtol=1e-6)
+        # unify_coord applies scale/trans (identity meta here -> -offset)
+        kpt_u, _ = ds.get_l_kpt_desc("patch_aug_net", 0, unify_coord=True)
+        assert kpt_u.shape == (K, 3)
+
+    def test_cloud_cache_hits(self, monkeypatch):
+        """Second pass over the scene must not reload from the source
+        (reference pc_dict cache, scene_dataset.py:713-741)."""
+        ds = data.SceneDataset("synthetic", for_training=True)
+        ds.create_synthetic(n_trips=2, n_per_trip=6, num_points=32)
+        calls = []
+        orig = ds._load_raw_clouds
+
+        def counting(indices):
+            calls.append(list(indices))
+            return orig(indices)
+
+        monkeypatch.setattr(ds, "_load_raw_clouds", counting)
+        a, _ = ds.get_clouds([0, 1, 2])
+        b, _ = ds.get_clouds([0, 1, 2])
+        np.testing.assert_array_equal(a, b)
+        assert calls == [[0, 1, 2]]  # one load, second pass cached
+        # eviction keeps the cache bounded
+        ds.cache_size = 2
+        ds.get_clouds([3, 4, 5])
+        assert len(ds._pc_cache) <= 2

@@ -119,6 +119,42 @@ class TestTrainStep:
         assert "recall_at_1" in out
         assert out["desc_time"]["mean_ms"] > 0
 
+    def test_evaluate_writes_descriptor_store(self, model_and_state, tmp_path, monkeypatch):
+        """End-to-end local-descriptor store through the real model:
+        evaluate with the tuple-returning forward writes the reference
+        global/ + local/ layout (scene_dataset.py:687-708)."""
+        import os
+
+        from patchaugnet_tpu import data
+
+        monkeypatch.setenv(data.DATA_ROOT_ENV, str(tmp_path))
+        model, state = model_and_state
+        local_forward = train.build_local_forward_fn(model, SMALL_CFG)
+        assert local_forward is not None
+        ds = make_synthetic_ds(for_training=False)
+        os.makedirs(ds.scene.data_dir(), exist_ok=True)
+        out = train.evaluate(
+            state.variables, local_forward, ds, top_k=5, batch_size=6,
+            save_model_type="patch_aug_net",
+        )
+        assert "recall_at_1" in out
+        n = len(ds.scene.records)
+        assert len(os.listdir(ds.scene.g_desc_dir("patch_aug_net"))) == n
+        assert len(os.listdir(ds.scene.l_desc_dir("patch_aug_net"))) == n
+        kpt, desc = ds.scene.get_l_kpt_desc("patch_aug_net", 0)
+        # K = level-1 SAMPLING centres, C = fp feature width
+        assert kpt.shape == (SMALL_CFG["SAMPLING"][0], 3)
+        assert desc.shape[0] == SMALL_CFG["SAMPLING"][0]
+        # keypoints really are input points of record 0
+        clouds, _ = ds.scene.get_clouds([0])
+        d = np.linalg.norm(kpt[:, None, :] - clouds[0][None], axis=-1).min(1)
+        np.testing.assert_allclose(d, 0, atol=1e-6)
+        # reloading descs from the store matches the in-memory matrix
+        stored = ds.scene.get_g_desc("patch_aug_net", 3)
+        np.testing.assert_allclose(
+            stored[0], ds.scene.global_descs[3], rtol=1e-6
+        )
+
 
 class TestCheckpoint:
     def test_save_restore_roundtrip(self, model_and_state, tmp_path):

@@ -41,6 +41,10 @@ def get_args():
                    help="force jax platform (e.g. cpu); the axon TPU "
                         "plugin ignores JAX_PLATFORMS so this goes "
                         "through jax.config")
+    p.add_argument("--exp_dir", type=str, default=None,
+                   help="override the config EXP_DIR")
+    p.add_argument("--num-points", type=int, default=None,
+                   help="override NUM_POINTS (and the synthetic scene size)")
     p.add_argument("--print-flops", action="store_true",
                    help="print XLA cost-analysis FLOPs at startup "
                         "(the reference's fvcore report)")
@@ -58,6 +62,10 @@ def get_args():
     cfg["eval"] = args.eval
     if args.epochs is not None:
         cfg["MAX_EPOCH"] = args.epochs
+    if args.exp_dir is not None:
+        cfg["EXP_DIR"] = args.exp_dir
+    if args.num_points is not None:
+        cfg["NUM_POINTS"] = args.num_points
     cfg["event_dir"] = os.path.join(
         cfg["EXP_DIR"], cfg["model_type"], "events",
         datetime.now().strftime("%Y-%m-%dT%H-%M-%S"),
@@ -99,16 +107,18 @@ def main():
         cfg.get("use_patch_recon") or cfg.get("use_patch_feature_contrast")
     )
 
+    ds_kwargs = dict(
+        num_pos=cfg["TRAIN_POSITIVES_PER_QUERY"],
+        num_neg=cfg["TRAIN_NEGATIVES_PER_QUERY"],
+    )
+    if cfg["dataset"] == "synthetic":
+        ds_kwargs["num_points"] = cfg["NUM_POINTS"]
     train_ds = data.PlaceRecognitionDataset(
         cfg["dataset"], for_training=True,
-        num_pos=cfg["TRAIN_POSITIVES_PER_QUERY"],
-        num_neg=cfg["TRAIN_NEGATIVES_PER_QUERY"],
-        load_overlap_indices=use_patches,
+        load_overlap_indices=use_patches, **ds_kwargs,
     )
     test_ds = data.PlaceRecognitionDataset(
-        cfg["dataset"], for_training=False,
-        num_pos=cfg["TRAIN_POSITIVES_PER_QUERY"],
-        num_neg=cfg["TRAIN_NEGATIVES_PER_QUERY"],
+        cfg["dataset"], for_training=False, **ds_kwargs,
     )
     logger.info(
         f"train records: {len(train_ds)}, test records: {len(test_ds)}, "
@@ -117,6 +127,19 @@ def main():
 
     model = get_model(model_type, cfg)
     tuple_size = 1 + cfg["TRAIN_POSITIVES_PER_QUERY"] + cfg["TRAIN_NEGATIVES_PER_QUERY"] + 1
+    n_dev = args.devices or len(jax.devices())
+    if n_dev > 1:
+        # the flattened tuple batch must split evenly over the mesh —
+        # bump the batch like the driver dryrun (__graft_entry__.py)
+        bumped = cfg["TRAIN_BATCH_SIZE"]
+        while (bumped * tuple_size) % n_dev:
+            bumped += 1
+        if bumped != cfg["TRAIN_BATCH_SIZE"]:
+            logger.info(
+                f"TRAIN_BATCH_SIZE {cfg['TRAIN_BATCH_SIZE']} -> {bumped} "
+                f"({bumped * tuple_size} clouds split over {n_dev} devices)"
+            )
+            cfg["TRAIN_BATCH_SIZE"] = bumped
     n_points = cfg["NUM_POINTS"] if cfg["dataset"] != "synthetic" else train_ds.scene.num_points
     example = jnp.zeros((cfg["TRAIN_BATCH_SIZE"] * tuple_size, n_points, 3))
     steps_per_epoch = max(len(train_ds) // cfg["TRAIN_BATCH_SIZE"], 1)
@@ -146,7 +169,6 @@ def main():
         state, starting_epoch = train.restore_checkpoint(path, state)
         logger.info(f"Resumed from {path} at epoch {starting_epoch}")
 
-    n_dev = args.devices or len(jax.devices())
     if n_dev > 1:
         mesh = parallel.make_mesh(n_dev)
         step = parallel.build_parallel_train_step(model, cfg, mesh)
