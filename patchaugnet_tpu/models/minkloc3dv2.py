@@ -23,10 +23,20 @@ Preserved reference semantics:
     onto fixed dense grids;
   - config: the same INI schema via :mod:`minkloc_config`.
 
-Dense-grid divergences (documented):
-  - the grid resolution is capped (default 48^3); the reference's
-    0.01-step cartesian quantization would need a 200^3 dense grid;
-  - BatchNorm normalises over all voxels, not only occupied ones.
+Sparse-equivalence (round 2): every conv output is zeroed outside the
+level occupancy mask and BatchNorm statistics are computed over
+occupied voxels only (:class:`MaskedBatchNorm`). With that invariant a
+dense convolution computes EXACTLY what the Minkowski sparse
+convolution computes at each stored site — empty neighbours contribute
+zero to the sum, downsampled coordinate maps are the max-pooled masks,
+and the global poolings see only stored sites — so the dense branch is
+functionally the sparse network on a bounded grid, not an
+approximation of it.
+
+Remaining dense-grid divergence (documented): the grid resolution is
+derived from ``quantization_step`` but capped (``max_grid_size``,
+default 48 per dim); the reference's 0.01-step cartesian quantization
+would need a 200^3 dense grid. The effective step is ``2*extent/G``.
 """
 from __future__ import annotations
 
@@ -37,7 +47,8 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
-from ..nn import NetVLADLoupe, batch_norm, l2_normalize
+from ..nn import NetVLADLoupe, l2_normalize
+from ..nn.core import BN_EPS, BN_MOMENTUM
 
 
 # ------------------------------------------------------------ voxelize
@@ -85,6 +96,45 @@ def polar_voxelize(
 
 
 # ------------------------------------------------------------- blocks
+class MaskedBatchNorm(nn.Module):
+    """BatchNorm whose statistics cover occupied voxels only — the
+    Minkowski BN analogue (sparse tensors normalise over stored sites).
+    Output is zeroed outside the mask to keep the sparse-equivalence
+    invariant (a bias-shifted empty site would otherwise leak into the
+    next convolution's sums)."""
+
+    momentum: float = BN_MOMENTUM
+    epsilon: float = BN_EPS
+
+    @nn.compact
+    def __call__(self, x, mask, *, use_running_average: bool):
+        c = x.shape[-1]
+        ra_mean = self.variable(
+            "batch_stats", "mean", lambda: jnp.zeros((c,), jnp.float32)
+        )
+        ra_var = self.variable(
+            "batch_stats", "var", lambda: jnp.ones((c,), jnp.float32)
+        )
+        scale = self.param("scale", nn.initializers.ones, (c,))
+        bias = self.param("bias", nn.initializers.zeros, (c,))
+        m = mask[..., None].astype(x.dtype)
+        if use_running_average:
+            mean, var = ra_mean.value, ra_var.value
+        else:
+            cnt = jnp.maximum(jnp.sum(m), 1.0)
+            mean = jnp.sum(x * m, axis=(0, 1, 2, 3)) / cnt
+            var = jnp.sum((x - mean) ** 2 * m, axis=(0, 1, 2, 3)) / cnt
+            if not self.is_initializing():
+                ra_mean.value = (
+                    self.momentum * ra_mean.value + (1 - self.momentum) * mean
+                )
+                ra_var.value = (
+                    self.momentum * ra_var.value + (1 - self.momentum) * var
+                )
+        y = (x - mean) * jax.lax.rsqrt(var + self.epsilon) * scale + bias
+        return y * m
+
+
 class ECALayer(nn.Module):
     """Efficient channel attention (eca_block.py:12-35): global average
     over occupied voxels, 1-D conv across channels, sigmoid gate."""
@@ -109,12 +159,16 @@ class ECALayer(nn.Module):
 
 
 class _Conv3dBN(nn.Module):
+    """Bias-free conv + masked BN; the output lives on ``out_mask``
+    (for stride 2 that is the max-pooled input mask — exactly the
+    Minkowski downsampled coordinate map)."""
+
     features: int
     kernel: int = 3
     stride: int = 1
 
     @nn.compact
-    def __call__(self, x, *, train: bool = False):
+    def __call__(self, x, out_mask, *, train: bool = False):
         x = nn.Conv(
             self.features,
             (self.kernel,) * 3,
@@ -123,7 +177,9 @@ class _Conv3dBN(nn.Module):
             use_bias=False,
             name="conv",
         )(x)
-        return batch_norm(name="bn")(x, use_running_average=not train)
+        return MaskedBatchNorm(name="bn")(
+            x, out_mask, use_running_average=not train
+        )
 
 
 class BasicBlock3d(nn.Module):
@@ -136,14 +192,14 @@ class BasicBlock3d(nn.Module):
     @nn.compact
     def __call__(self, x, mask, *, train: bool = False):
         residual = x
-        out = _Conv3dBN(self.planes, name="conv1")(x, train=train)
+        out = _Conv3dBN(self.planes, name="conv1")(x, mask, train=train)
         out = nn.relu(out)
-        out = _Conv3dBN(self.planes, name="conv2")(out, train=train)
+        out = _Conv3dBN(self.planes, name="conv2")(out, mask, train=train)
         if self.use_eca:
             out = ECALayer(self.planes, name="eca")(out, mask)
         if residual.shape[-1] != self.planes:
             residual = _Conv3dBN(self.planes, kernel=1, name="downsample")(
-                x, train=train
+                x, mask, train=train
             )
         return nn.relu(out + residual)
 
@@ -155,15 +211,19 @@ class Bottleneck3d(nn.Module):
     @nn.compact
     def __call__(self, x, mask, *, train: bool = False):
         residual = x
-        out = nn.relu(_Conv3dBN(self.planes, kernel=1, name="conv1")(x, train=train))
-        out = nn.relu(_Conv3dBN(self.planes, name="conv2")(out, train=train))
+        out = nn.relu(
+            _Conv3dBN(self.planes, kernel=1, name="conv1")(x, mask, train=train)
+        )
+        out = nn.relu(
+            _Conv3dBN(self.planes, name="conv2")(out, mask, train=train)
+        )
         out = _Conv3dBN(self.planes * self.expansion, kernel=1, name="conv3")(
-            out, train=train
+            out, mask, train=train
         )
         if residual.shape[-1] != self.planes * self.expansion:
             residual = _Conv3dBN(
                 self.planes * self.expansion, kernel=1, name="downsample"
-            )(x, train=train)
+            )(x, mask, train=train)
         return nn.relu(out + residual)
 
 
@@ -194,7 +254,7 @@ class DenseVoxelFPN(nn.Module):
             )
 
         x = _Conv3dBN(self.planes[0], kernel=self.conv0_kernel_size, name="conv0")(
-            grid, train=train
+            grid, masks[0], train=train
         )
         x = nn.relu(x)
         feature_maps = []
@@ -208,7 +268,7 @@ class DenseVoxelFPN(nn.Module):
             # change it (minkfpn.py:44-47, 75-82)
             x = nn.relu(
                 _Conv3dBN(x.shape[-1], kernel=2, stride=2, name=f"down{ndx}")(
-                    x, train=train
+                    x, masks[ndx + 1], train=train
                 )
             )
             for li in range(n_layers):
@@ -224,14 +284,19 @@ class DenseVoxelFPN(nn.Module):
                 feature_maps.append(x)
                 fm_masks.append(masks[ndx + 1])
 
-        x = nn.Conv(self.out_channels, (1, 1, 1), name="lateral0")(x)
+        level = num_bottom_up                  # mask level x currently sits at
+        m = lambda lvl: masks[lvl][..., None].astype(x.dtype)
+        x = nn.Conv(self.out_channels, (1, 1, 1), name="lateral0")(x) * m(level)
         for ndx in range(self.num_top_down):
+            level -= 1
+            # generative upsample, then keep only the fine-level stored
+            # sites (the lateral's coordinate map) before the sparse add
             x = nn.ConvTranspose(
                 self.out_channels, (2, 2, 2), strides=(2, 2, 2), name=f"tconv{ndx}"
-            )(x)
+            )(x) * m(level)
             lateral = nn.Conv(
                 self.out_channels, (1, 1, 1), name=f"lateral{ndx + 1}"
-            )(feature_maps[-ndx - 1])
+            )(feature_maps[-ndx - 1]) * m(level)
             x = x + lateral
         out_mask = masks[num_bottom_up - self.num_top_down]
         return x, out_mask
@@ -333,18 +398,44 @@ class MinkLocDense(nn.Module):
         return out
 
 
+def grid_size_for_step(
+    quantization_step: float,
+    num_levels: int,
+    extent: float = 1.0,
+    max_grid_size: int = 48,
+) -> int:
+    """Grid resolution implied by the reference quantization step
+    (misc/quantization.py:40-50): ``ceil(2*extent/step)`` cells per dim,
+    rounded up to a multiple of ``2^num_levels`` (FPN downsampling),
+    capped at ``max_grid_size`` (dense-grid memory bound — at the cap
+    the effective step is ``2*extent/max_grid_size``)."""
+    factor = 2 ** num_levels
+    g = math.ceil(2 * extent / quantization_step)
+    g = ((g + factor - 1) // factor) * factor
+    cap = (max_grid_size // factor) * factor
+    return min(g, cap)
+
+
 def build_minkloc(param: Dict[str, Any]) -> MinkLocDense:
     """Build from a flat config dict (YAML keys or ModelParams fields)."""
+    layers = tuple(param.get("layers", (1, 1, 1, 1)))
+    grid_size = param.get("grid_size")
+    if grid_size is None:
+        grid_size = grid_size_for_step(
+            param.get("quantization_step", 0.01),
+            num_levels=len(layers),
+            max_grid_size=param.get("max_grid_size", 48),
+        )
     return MinkLocDense(
         feature_size=param.get("feature_size", 256),
         output_dim=param.get("output_dim", 256),
         planes=tuple(param.get("planes", (64, 128, 64, 32))),
-        layers=tuple(param.get("layers", (1, 1, 1, 1))),
+        layers=layers,
         num_top_down=param.get("num_top_down", 2),
         conv0_kernel_size=param.get("conv0_kernel_size", 5),
         block=param.get("block", "ECABasicBlock"),
         pooling=param.get("pooling", "GeM"),
         coordinates=param.get("coordinates", "cartesian"),
-        grid_size=param.get("grid_size", 48),
+        grid_size=grid_size,
         normalize_embeddings=param.get("normalize_embeddings", False),
     )
