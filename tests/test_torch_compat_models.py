@@ -229,3 +229,132 @@ class TestPPTNetImport:
         }
         got = np.asarray(sa.apply(sub_vars, jnp.asarray(x)))
         np.testing.assert_allclose(got, ref_out, atol=2e-4, rtol=1e-3)
+
+
+class TestMinkLocImport:
+    """Converter completeness for minkloc3dv2 (VERDICT round 1 item 6).
+
+    MinkowskiEngine is not installable here, so the reference module
+    cannot be constructed; instead the ME state dict is built
+    programmatically from the MinkFPN architecture rules
+    (minkfpn.py:31-62, resnet.py:73-87, eca_block.py:11-18) — exact
+    names and shapes — and the converter must consume every key and
+    fill every flax leaf."""
+
+    PARAM = {
+        "feature_size": 256, "output_dim": 256,
+        "planes": [64, 128, 64, 32], "layers": [1, 1, 1, 1],
+        "num_top_down": 2, "conv0_kernel_size": 5,
+        "block": "ECABasicBlock", "pooling": "GeM",
+        "coordinates": "cartesian", "grid_size": 32,
+    }
+
+    @staticmethod
+    def _eca_k(channels):
+        t = int(abs((np.log2(channels) + 1) / 2))
+        return t if t % 2 else t + 1
+
+    def _me_state_dict(self, p):
+        """ME-style state dict with every value distinct."""
+        rng = np.random.RandomState(0)
+        sd = {}
+
+        def add(key, shape):
+            # small magnitudes: random conv chains otherwise overflow
+            # through GeM's power-3 pooling
+            sd[key] = (rng.randn(*shape) * 0.05).astype(np.float32)
+
+        def add_bn(prefix, c):
+            for nm, shape in [("weight", (c,)), ("bias", (c,)),
+                              ("running_mean", (c,))]:
+                add(f"{prefix}.bn.{nm}", shape)
+            sd[f"{prefix}.bn.running_var"] = (
+                rng.rand(c).astype(np.float32) + 0.5
+            )
+            sd[f"{prefix}.bn.num_batches_tracked"] = np.asarray(0)
+
+        planes, layers = p["planes"], p["layers"]
+        k0 = p["conv0_kernel_size"]
+        add("backbone.conv0.kernel", (k0 ** 3, 1, planes[0]))
+        add_bn("backbone.bn0", planes[0])
+        in_ch = planes[0]
+        for i in range(len(layers)):
+            add(f"backbone.convs.{i}.kernel", (8, in_ch, in_ch))
+            add_bn(f"backbone.bn.{i}", in_ch)
+            for j in range(layers[i]):
+                pref = f"backbone.blocks.{i}.{j}"
+                add(f"{pref}.conv1.kernel", (27, in_ch, planes[i]))
+                add_bn(f"{pref}.norm1", planes[i])
+                add(f"{pref}.conv2.kernel", (27, planes[i], planes[i]))
+                add_bn(f"{pref}.norm2", planes[i])
+                add(f"{pref}.eca.conv.weight", (1, 1, self._eca_k(planes[i])))
+                if in_ch != planes[i]:
+                    add(f"{pref}.downsample.0.kernel", (in_ch, planes[i]))
+                    add_bn(f"{pref}.downsample.1", planes[i])
+                in_ch = planes[i]
+        lat = p["feature_size"]
+        add("backbone.conv1x1.0.kernel", (planes[-1], lat))
+        for i in range(p["num_top_down"]):
+            add(f"backbone.tconvs.{i}.kernel", (8, lat, lat))
+            add(f"backbone.conv1x1.{i + 1}.kernel", (planes[-2 - i], lat))
+        sd["pooling.pooling.p"] = np.asarray([3.0], np.float32)
+        return sd
+
+    def test_tree_shapes_and_full_consumption(self):
+        from patchaugnet_tpu.compat.torch_loader import convert_minkloc3dv2
+        from patchaugnet_tpu.models.minkloc3dv2 import build_minkloc
+
+        p = self.PARAM
+        sd = self._me_state_dict(p)
+        variables, unused = convert_minkloc3dv2(
+            sd, planes=tuple(p["planes"]), layers=tuple(p["layers"]),
+            num_top_down=p["num_top_down"],
+            conv0_kernel_size=p["conv0_kernel_size"],
+            block=p["block"], pooling=p["pooling"],
+        )
+        # every torch key consumed (BN step counters are meaningless here)
+        leftovers = [u for u in unused if "num_batches_tracked" not in u]
+        assert not leftovers, leftovers[:10]
+        # every flax leaf filled with the right shape
+        model = build_minkloc(p)
+        x = jnp.zeros((1, 32, 3))
+        template = jax.eval_shape(lambda: model.init(jax.random.PRNGKey(0), x))
+        for coll in ("params", "batch_stats"):
+            ok, msgs = _tree_shapes_match(template[coll], variables[coll])
+            assert ok, (coll, msgs[:10])
+        # converted weights drive a working forward
+        out = model.apply(variables, jnp.asarray(
+            np.random.RandomState(0).rand(2, 64, 3).astype(np.float32) * 2 - 1
+        ))
+        assert out.shape == (2, 256) and bool(jnp.isfinite(out).all())
+
+    def test_kernel_offset_mapping(self):
+        """ME linear kernel index l = x + K*y + K^2*z must land at flax
+        kernel[x, y, z] (x-fastest hypercube iteration)."""
+        from patchaugnet_tpu.compat.torch_loader import _t_me_kernel
+
+        K = 3
+        w = np.arange(K ** 3, dtype=np.float32).reshape(K ** 3, 1, 1)
+        f = _t_me_kernel(w, K)
+        assert f.shape == (K, K, K, 1, 1)
+        for z in range(K):
+            for y in range(K):
+                for x in range(K):
+                    assert f[x, y, z, 0, 0] == x + K * y + K * K * z
+
+    def test_load_torch_checkpoint_wiring(self, tmp_path):
+        import torch
+
+        from patchaugnet_tpu.compat import load_torch_checkpoint
+
+        sd = self._me_state_dict(self.PARAM)
+        path = tmp_path / "minkloc.pth"
+        torch.save(
+            {"state_dict_encoder": {k: torch.from_numpy(np.atleast_1d(v))
+                                    for k, v in sd.items()}}, str(path)
+        )
+        variables = load_torch_checkpoint(
+            str(path), "minkloc3dv2", self.PARAM, template_variables=None
+        )
+        assert "backbone" in variables["params"]
+        assert "pooling" in variables["params"]
