@@ -23,30 +23,85 @@ becomes a no-op at that point — ``Bid`` returns when ``unass_cnt == 0``),
 so the fixed 1024-iteration budget of the reference call sites
 (losses/pointnetvlad_loss.py:219,254) costs only as many rounds as the
 auction actually needs.
+
+Memory: the CUDA auction is O(n) memory; a dense value matrix is
+O(b*n^2). When ``b * n^2`` floats exceed ``_VALUE_BUDGET`` (~128 MB
+live), the per-iteration top-2 sweep runs as a ``lax.scan`` over row
+chunks, recomputing each chunk's distances on the fly — live memory
+drops to ``(b, chunk, n)`` at ~2x the per-iteration FLOPs (one extra
+small matmul per chunk). Identical results by construction: the same
+values are reduced, only in chunks (bit-match tested).
 """
 from __future__ import annotations
 
 from functools import partial
-from typing import Tuple
+from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp
 
 _NEG = -1e9
+_VALUE_BUDGET = 32 * 1024 * 1024      # floats live in the value sweep
 
 
-def _auction(xyz1: jax.Array, xyz2: jax.Array, eps: float, iters: int) -> jax.Array:
+def _pick_row_chunk(b: int, n: int) -> int:
+    chunk = n
+    while b * chunk * n > _VALUE_BUDGET and chunk % 2 == 0:
+        chunk //= 2
+    return chunk
+
+
+def _auction(
+    xyz1: jax.Array,
+    xyz2: jax.Array,
+    eps: float,
+    iters: int,
+    row_chunk: Optional[int] = None,
+) -> jax.Array:
     b, n, _ = xyz1.shape
-    d = jnp.sqrt(
-        jnp.maximum(
-            jnp.sum(xyz1 * xyz1, -1)[:, :, None]
-            + jnp.sum(xyz2 * xyz2, -1)[:, None, :]
-            - 2.0
-            * jnp.einsum("bnd,bmd->bnm", xyz1, xyz2, preferred_element_type=jnp.float32),
-            0.0,
+    if row_chunk is None:
+        row_chunk = _pick_row_chunk(b, n)
+    chunked = row_chunk < n and n % row_chunk == 0
+    y2 = jnp.sum(xyz2 * xyz2, -1)                          # (b, n)
+
+    def chunk_dist(x1c):
+        # (b, c, n) euclidean distances of a row chunk against all cols
+        return jnp.sqrt(
+            jnp.maximum(
+                jnp.sum(x1c * x1c, -1)[:, :, None]
+                + y2[:, None, :]
+                - 2.0 * jnp.einsum(
+                    "bcd,bmd->bcm", x1c, xyz2,
+                    preferred_element_type=jnp.float32,
+                ),
+                0.0,
+            )
         )
-    )
-    base = 3.0 - d                                         # (b, n_rows, n_cols)
+
+    if chunked:
+        # row-chunked scan: recompute distances per chunk, never hold
+        # the full (b, n, n) value matrix
+        x1_chunks = jnp.moveaxis(
+            xyz1.reshape(b, n // row_chunk, row_chunk, 3), 1, 0
+        )                                                   # (nc, b, c, 3)
+
+        def top2_sweep(price):
+            def f(_, x1c):
+                value = 3.0 - chunk_dist(x1c) - price[:, None, :]
+                t2, t2i = jax.lax.top_k(value, 2)
+                return 0, (t2, t2i)
+
+            _, (t2, t2i) = jax.lax.scan(f, 0, x1_chunks)
+            # (nc, b, c, 2) -> (b, n, 2)
+            t2 = jnp.moveaxis(t2, 0, 1).reshape(b, n, 2)
+            t2i = jnp.moveaxis(t2i, 0, 1).reshape(b, n, 2)
+            return t2, t2i
+    else:
+        base = 3.0 - chunk_dist(xyz1)                      # (b, n, n)
+
+        def top2_sweep(price):
+            return jax.lax.top_k(base - price[:, None, :], 2)
+
     rows = jnp.arange(n, dtype=jnp.int32)
     batch = jnp.arange(b)[:, None]
 
@@ -57,13 +112,12 @@ def _auction(xyz1: jax.Array, xyz2: jax.Array, eps: float, iters: int) -> jax.Ar
     def body(state):
         i, assignment, assignment_inv, price = state
         unass = assignment < 0                             # (b, n)
-        value = base - price[:, None, :]                   # (b, n, n)
-        top2, top2_i = jax.lax.top_k(value, 2)
+        top2, top2_i = top2_sweep(price)
         best, better = top2[..., 0], top2[..., 1]
         best_i = top2_i[..., 0].astype(jnp.int32)          # (b, n)
         inc = jnp.where(unass, best - better + eps, _NEG)
         # Column winners via scatter-max (CUDA atomicMax in Bid).
-        winner_inc = jnp.full((b, n), _NEG, value.dtype).at[batch, best_i].max(inc)
+        winner_inc = jnp.full((b, n), _NEG, top2.dtype).at[batch, best_i].max(inc)
         has_winner = winner_inc > _NEG / 2
         # Winning row per column: any row whose inc equals the max (GetMax).
         is_winner_row = jnp.logical_and(unass, inc >= winner_inc[batch, best_i])
@@ -99,15 +153,21 @@ def _auction(xyz1: jax.Array, xyz2: jax.Array, eps: float, iters: int) -> jax.Ar
         jnp.zeros((b, n), jnp.float32),
     )
     _, assignment, _, price = jax.lax.while_loop(cond, body, state)
-    # Force-assign stragglers to their current best column (last=true pass).
-    value = base - price[:, None, :]
-    fallback = jnp.argmax(value, axis=-1).astype(jnp.int32)
+    # Force-assign stragglers to their current best column (last=true
+    # pass); top-1 of the sweep is argmax with the same lowest-index
+    # tie-break.
+    _, t2i = top2_sweep(price)
+    fallback = t2i[..., 0].astype(jnp.int32)
     return jnp.where(assignment < 0, fallback, assignment)
 
 
-@partial(jax.custom_vjp, nondiff_argnums=(2, 3))
+@partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4))
 def auction_emd(
-    xyz1: jax.Array, xyz2: jax.Array, eps: float = 0.005, iters: int = 50
+    xyz1: jax.Array,
+    xyz2: jax.Array,
+    eps: float = 0.005,
+    iters: int = 50,
+    row_chunk: Optional[int] = None,
 ) -> Tuple[jax.Array, jax.Array]:
     """Approximate EMD between same-size clouds.
 
@@ -115,30 +175,32 @@ def auction_emd(
       xyz1, xyz2: ``(b, n, 3)`` clouds normalised to ~[0, 1].
       eps: auction bid increment (reference uses 0.02 in training losses).
       iters: max auction rounds (reference uses 1024).
+      row_chunk: value-sweep chunk size; None picks automatically so the
+        live value matrix stays under ~128 MB (see module docstring).
 
     Returns:
       ``(dist, assignment)``: per-point squared distances ``(b, n)`` and
       int32 assignment of each xyz1 row to an xyz2 row.
     """
-    return _emd_fwd_impl(xyz1, xyz2, eps, iters)
+    return _emd_fwd_impl(xyz1, xyz2, eps, iters, row_chunk)
 
 
-def _emd_fwd_impl(xyz1, xyz2, eps, iters):
+def _emd_fwd_impl(xyz1, xyz2, eps, iters, row_chunk=None):
     assignment = _auction(
-        xyz1.astype(jnp.float32), xyz2.astype(jnp.float32), eps, iters
+        xyz1.astype(jnp.float32), xyz2.astype(jnp.float32), eps, iters, row_chunk
     )
     matched = jnp.take_along_axis(xyz2, assignment[..., None], axis=1)
     dist = jnp.sum((xyz1 - matched) ** 2, axis=-1)
     return dist, assignment
 
 
-def _emd_fwd(xyz1, xyz2, eps, iters):
-    dist, assignment = _emd_fwd_impl(xyz1, xyz2, eps, iters)
+def _emd_fwd(xyz1, xyz2, eps, iters, row_chunk=None):
+    dist, assignment = _emd_fwd_impl(xyz1, xyz2, eps, iters, row_chunk)
     matched = jnp.take_along_axis(xyz2, assignment[..., None], axis=1)
     return (dist, assignment), (xyz1, matched)
 
 
-def _emd_bwd(eps, iters, res, grads):
+def _emd_bwd(eps, iters, row_chunk, res, grads):
     xyz1, matched = res
     g_dist, _ = grads
     # Matches emd.cpp backward: grad w.r.t. xyz1 only.

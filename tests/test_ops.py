@@ -236,6 +236,28 @@ class TestEMD:
         assert float(jnp.abs(gy).sum()) == 0.0
         assert float(jnp.abs(gx).sum()) > 0.0
 
+    def test_chunked_bitmatches_dense(self, rng):
+        """Row-chunked value sweeps reduce the same numbers in chunks —
+        the assignment and distances must be identical to the dense
+        path (VERDICT round 1 item 7)."""
+        x = rng.rand(2, 64, 3).astype(np.float32)
+        y = rng.rand(2, 64, 3).astype(np.float32)
+        d_dense, a_dense = ops.auction_emd(x, y, 0.005, 500, row_chunk=64)
+        for chunk in (8, 16, 32):
+            d_c, a_c = ops.auction_emd(x, y, 0.005, 500, row_chunk=chunk)
+            np.testing.assert_array_equal(np.asarray(a_dense), np.asarray(a_c))
+            np.testing.assert_array_equal(np.asarray(d_dense), np.asarray(d_c))
+
+    def test_auto_chunk_selection(self):
+        from patchaugnet_tpu.ops.emd import _VALUE_BUDGET, _pick_row_chunk
+
+        # small problems stay dense
+        assert _pick_row_chunk(2, 64) == 64
+        # batched full clouds chunk down under the live-memory budget
+        chunk = _pick_row_chunk(4, 4096)
+        assert chunk < 4096 and 4 * chunk * 4096 <= _VALUE_BUDGET
+        assert 4096 % chunk == 0
+
 
 class TestLabelStat:
     def test_labelstat_ballrange(self, rng):
