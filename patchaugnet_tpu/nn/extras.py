@@ -198,10 +198,36 @@ class TransformerEncoderLayer(nn.Module):
             self.dropout, deterministic=not train, name="drop2")(ff))
 
 
+def _instance_norm_seq(x: jax.Array, eps: float = 1e-5) -> jax.Array:
+    """Parameter-free InstanceNorm over the sequence axis of ``(B, N, C)``
+    (the reference MLP's ``nn.InstanceNorm1d`` with torch's default
+    affine=False, feat_processor.py:13-25)."""
+    mean = jnp.mean(x, axis=1, keepdims=True)
+    var = jnp.var(x, axis=1, keepdims=True)
+    return (x - mean) * jax.lax.rsqrt(var + eps)
+
+
+class _MessageMLP(nn.Module):
+    """The AttentionalPropagation message MLP [2d, 2d, d] with
+    InstanceNorm+ReLU between layers (feat_processor.py:13-25, 55-63)."""
+
+    d_model: int
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        x = nn.Dense(2 * self.d_model, name="fc0")(x)
+        x = nn.relu(_instance_norm_seq(x))
+        return nn.Dense(
+            self.d_model, bias_init=nn.initializers.zeros, name="fc1"
+        )(x)
+
+
 class AttentionalGNN(nn.Module):
     """SuperGlue-style alternating self/cross attention over two point
     sets (feat_processor.py AttentionalGNN): MLP-message residual
-    updates."""
+    updates. With all-'self' layer types the two streams are
+    independent; pass one set twice (or use :meth:`single`) for the
+    reference's self-only mode (feat_processor.py:80-89)."""
 
     d_model: int
     nhead: int = 4
@@ -211,9 +237,7 @@ class AttentionalGNN(nn.Module):
     def __call__(self, x0: jax.Array, x1: jax.Array):
         for i, kind in enumerate(self.layer_types):
             attn = MultiheadAttention(self.d_model, self.nhead, name=f"attn{i}")
-            mlp = nn.Sequential(
-                [nn.Dense(2 * self.d_model), nn.relu, nn.Dense(self.d_model)]
-            )
+            mlp = _MessageMLP(self.d_model, name=f"mlp{i}")
             if kind == "self":
                 m0 = attn(x0, x0, x0)
                 m1 = attn(x1, x1, x1)
@@ -223,3 +247,200 @@ class AttentionalGNN(nn.Module):
             x0 = x0 + mlp(jnp.concatenate([x0, m0], axis=-1))
             x1 = x1 + mlp(jnp.concatenate([x1, m1], axis=-1))
         return x0, x1
+
+
+# ------------------------------------------------- geometric encoders
+def nn_angle_jax(c: jax.Array, k: int = 3) -> jax.Array:
+    """Cosine of angles between each point's edge to every other point
+    and its k nearest-neighbour edges — jittable version of
+    utils.geometry.nn_angle (reference utils/train_util.py:242-277).
+
+    Args: c ``(b, m, 3)``. Returns ``(b, k, m, m)``.
+    """
+    from .. import ops
+
+    idx, _ = ops.knn(c, None, k + 1)
+    idx = idx[..., 1:]                                      # drop self
+    c2 = jax.vmap(lambda pts, i: pts[i])(c, idx)            # (b, m, k, 3)
+    c01 = c[:, None, :, :] - c[:, :, None, :]               # (b, m, m, 3)
+    c02 = c2 - c[:, :, None, :]                             # (b, m, k, 3)
+    c01n = c01 / jnp.maximum(
+        jnp.linalg.norm(c01, axis=-1, keepdims=True), 1e-8
+    )
+    c02n = c02 / jnp.maximum(
+        jnp.linalg.norm(c02, axis=-1, keepdims=True), 1e-8
+    )
+    return jnp.einsum("bmkd,bmjd->bkmj", c02n, c01n)
+
+
+class AbsCoordEncoder(nn.Module):
+    """``(B, N, 3) -> (B, N, d)`` (feat_processor.py:105-120)."""
+
+    embed_dim: int
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        return nn.relu(nn.LayerNorm()(nn.Dense(self.embed_dim)(x)))
+
+
+class DistanceEncoder(nn.Module):
+    """All-pairs-distance row embedding (feat_processor.py:120-139)."""
+
+    embed_dim: int
+    max_dist: Optional[float] = None
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        centered = x - jnp.mean(x, axis=1, keepdims=True)
+        d = jnp.sqrt(
+            jnp.maximum(
+                jnp.sum(
+                    (centered[:, :, None, :] - centered[:, None, :, :]) ** 2, -1
+                ),
+                0.0,
+            )
+        )                                                   # (B, N, N)
+        if self.max_dist is not None:
+            d = jnp.minimum(d, self.max_dist)
+        d = d / jnp.maximum(jnp.max(d), 1e-8)
+        return nn.relu(nn.LayerNorm()(nn.Dense(self.embed_dim)(d)))
+
+
+class AngleEncoder(nn.Module):
+    """kNN-edge angle embedding, max-pooled over the k edges
+    (feat_processor.py:142-164)."""
+
+    embed_dim: int
+    angle_k: int = 3
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        a = nn_angle_jax(x, self.angle_k)                   # (b, k, m, m)
+        a = a / jnp.maximum(jnp.linalg.norm(a, axis=-1, keepdims=True), 1e-12)
+        a = nn.relu(nn.LayerNorm()(nn.Dense(self.embed_dim)(a)))  # (b, k, m, d)
+        return jnp.max(a, axis=1)                           # (b, m, d)
+
+
+class GeoEncoder(nn.Module):
+    """Geometric structure encoder dispatch (feat_processor.py:167-188):
+    abs_coord | nn_dist | nn_angle | anything else = dist + angle."""
+
+    encode_type: str
+    element_dim: int
+    angle_k: int = 3
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        if self.encode_type == "abs_coord":
+            return AbsCoordEncoder(self.element_dim, name="encoder")(x)
+        if self.encode_type == "nn_dist":
+            return DistanceEncoder(self.element_dim, name="encoder")(x)
+        if self.encode_type == "nn_angle":
+            return AngleEncoder(self.element_dim, self.angle_k, name="encoder")(x)
+        return DistanceEncoder(self.element_dim, name="geo_encoder")(x) + AngleEncoder(
+            self.element_dim, self.angle_k, name="angle_encoder"
+        )(x)
+
+
+# ------------------------------------------------------ feat processors
+def _pool_seq(x: jax.Array, pool: str) -> jax.Array:
+    """avg / max / gem over the sequence axis of ``(B, N, C)`` -> (B, C)
+    (the reference pools (b, d, n, 1) to (b, d, 1, 1), pool.py:23-31)."""
+    if pool == "avg":
+        return jnp.mean(x, axis=1)
+    if pool == "max":
+        return jnp.max(x, axis=1)
+    if pool == "gem":
+        # GeMPooling's fixed p=3 formula (pool.py:5-21)
+        return jnp.mean(jnp.maximum(x, 1e-6) ** 3.0, axis=1) ** (1.0 / 3.0)
+    raise ValueError(f"not support pooling way: {pool}")
+
+
+class _FeatProcessorCore(nn.Module):
+    """Shared machinery of Single/PairwiseFeatProcessor
+    (feat_processor.py:191-353): geo-encode positions into local
+    features, add/cat the global feature, embed, optional NetVLAD
+    aggregation, optional GNN interaction, optional pooling."""
+
+    config: dict
+
+    def setup(self):
+        cfg = self.config
+        assert cfg["embed_dim"] % 2 == 0
+        if cfg["use_geo_encoder"]:
+            self.geo_encoder = GeoEncoder(
+                cfg["geo_encode_type"], cfg["local_dim"],
+                cfg.get("angle_k", 3),
+            )
+        self.mlp_fc = nn.Dense(cfg["embed_dim"])
+        self.mlp_ln = nn.LayerNorm()
+        if cfg["use_vlad"]:
+            from .vlad import NetVLADBase
+
+            self.vlad = NetVLADBase(
+                feature_size=cfg["embed_dim"], cluster_size=cfg["cluster_size"]
+            )
+        if len(cfg["layer_names"]) > 0:
+            self.norm1 = nn.LayerNorm()
+            self.gnn_layer = AttentionalGNN(
+                cfg["embed_dim"], nhead=4, layer_types=tuple(cfg["layer_names"])
+            )
+
+    @property
+    def out_dim(self) -> int:
+        cfg = self.config
+        if cfg["use_pool"]:
+            return cfg["embed_dim"]
+        n = cfg["cluster_size"] if cfg["use_vlad"] else cfg["num_local"]
+        return n * cfg["embed_dim"]
+
+    def _embed(self, x_global, x_local, x_position):
+        cfg = self.config
+        if cfg["use_geo_encoder"]:
+            x_local = x_local + self.geo_encoder(x_position)
+        if cfg["add_or_cat"] == "add":
+            feat = x_global[:, None, :] + x_local
+        elif cfg["add_or_cat"] == "cat":
+            g = jnp.broadcast_to(
+                x_global[:, None, :], (*x_local.shape[:2], x_global.shape[-1])
+            )
+            feat = jnp.concatenate([g, x_local], axis=-1)
+        else:
+            feat = x_local
+        feat = nn.relu(self.mlp_ln(self.mlp_fc(feat)))
+        if cfg["use_vlad"]:
+            # (B, N, C) -> (B, C, K) -> (B, K, C)
+            feat = jnp.swapaxes(self.vlad(feat), 1, 2)
+        return feat
+
+    def _finish(self, feat):
+        if self.config["use_pool"]:
+            return _pool_seq(feat, self.config["pool"])
+        return feat
+
+
+class SingleFeatProcessor(_FeatProcessorCore):
+    """``(x_global (B, D), x_local (B, N, D), x_position (B, N, 3)) ->
+    (B, embed_dim)`` pooled or ``(B, n, embed_dim)``
+    (feat_processor.py:191-262). Self-attention interaction only."""
+
+    def __call__(self, x_global, x_local, x_position):
+        feat = self._embed(x_global, x_local, x_position)
+        if len(self.config["layer_names"]) > 0:
+            feat = self.norm1(feat)
+            feat, _ = self.gnn_layer(feat, feat)
+        return self._finish(feat)
+
+
+class PairwiseFeatProcessor(_FeatProcessorCore):
+    """Two-cloud variant with shared weights and (optionally) cross
+    attention between the sets (feat_processor.py:265-353)."""
+
+    def __call__(self, x_global, x_local, x_position,
+                 y_global, y_local, y_position):
+        xf = self._embed(x_global, x_local, x_position)
+        yf = self._embed(y_global, y_local, y_position)
+        if len(self.config["layer_names"]) > 0:
+            xf, yf = self.norm1(xf), self.norm1(yf)
+            xf, yf = self.gnn_layer(xf, yf)
+        return self._finish(xf), self._finish(yf)
