@@ -28,6 +28,9 @@ def chamfer_sqdists(xyz1: jax.Array, xyz2: jax.Array) -> Tuple[jax.Array, jax.Ar
       xyz1: ``(..., n, 3)``; xyz2: ``(..., m, 3)``.
     Returns: ``(dist1 (..., n), dist2 (..., m))``.
     """
+    assert xyz1.shape[-1] == xyz2.shape[-1], (
+        f"coordinate dims differ: {xyz1.shape} vs {xyz2.shape}"
+    )
     d = pairwise_sqdist(xyz1, xyz2)
     return jnp.min(d, axis=-1), jnp.min(d, axis=-2)
 

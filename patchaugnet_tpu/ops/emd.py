@@ -186,6 +186,11 @@ def auction_emd(
 
 
 def _emd_fwd_impl(xyz1, xyz2, eps, iters, row_chunk=None):
+    # reference contract: same-size clouds (emd_module.py:35-38)
+    assert xyz1.shape == xyz2.shape and xyz1.ndim == 3 and xyz1.shape[-1] == 3, (
+        f"auction_emd expects matching (b, n, 3) clouds, got "
+        f"{xyz1.shape} vs {xyz2.shape}"
+    )
     assignment = _auction(
         xyz1.astype(jnp.float32), xyz2.astype(jnp.float32), eps, iters, row_chunk
     )

@@ -21,6 +21,8 @@ from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
+
+from . import contracts
 from functools import partial
 
 
@@ -39,6 +41,8 @@ def farthest_point_sample(
     Returns:
       ``(b, m)`` int32 indices into ``xyz``.
     """
+    contracts.check_points(xyz, "xyz")
+    contracts.check_k(m, xyz.shape[-2], "m")
     if use_pallas is None:
         use_pallas = jax.default_backend() not in ("cpu",)
     if use_pallas and m > 1:

@@ -19,6 +19,7 @@ from typing import NamedTuple, Optional, Tuple
 import jax
 import jax.numpy as jnp
 
+from . import contracts
 from .knn import ball_query, dilated_knn
 from .pairwise import pairwise_sqdist
 
@@ -34,6 +35,11 @@ def gather(features: jax.Array, idx: jax.Array) -> jax.Array:
     Implemented as one flat row-gather with batch offsets — ~20% faster
     than ``take_along_axis`` on TPU for the SA/FP grouping shapes.
     """
+    # dtype-generic (the reference ships Grouping AND GroupingInt,
+    # pointops.py:121-172) — contract covers rank + index dtype only
+    assert features.ndim == 3, f"features: expected (B, N, C), got {features.shape}"
+    contracts.check_indices(idx, "idx", rank=2)
+    contracts.check_same_batch(features, idx, "features", "idx")
     b, n, c = features.shape
     base = (jnp.arange(b, dtype=idx.dtype) * n)[:, None]
     flat = (idx + base).reshape(-1)
@@ -50,6 +56,7 @@ def group(features: jax.Array, idx: jax.Array) -> jax.Array:
       idx: ``(b, m, k)`` int indices.
     Returns: ``(b, m, k, c)``.
     """
+    contracts.check_indices(idx, "idx", rank=3)
     b, m, k = idx.shape
     flat = gather(features, idx.reshape(b, m * k))
     return flat.reshape(b, m, k, features.shape[-1])

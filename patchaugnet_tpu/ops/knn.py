@@ -25,6 +25,7 @@ from typing import Optional, Tuple
 import jax
 import jax.numpy as jnp
 
+from . import contracts
 from .pairwise import pairwise_sqdist
 
 
@@ -49,8 +50,12 @@ def knn(
       ``(idx, sqdist)``: ``(b, m, k)`` int32 indices sorted by ascending
       distance, and the matching squared distances.
     """
+    contracts.check_features(xyz, "xyz")
     if new_xyz is None:
         new_xyz = xyz
+    contracts.check_features(new_xyz, "new_xyz")
+    contracts.check_same_batch(xyz, new_xyz, "xyz", "new_xyz")
+    contracts.check_k(k, xyz.shape[-2])
     if approx_recall is not None:
         d = pairwise_sqdist(new_xyz, xyz)                  # (b, m, n)
         neg, idx = jax.lax.approx_max_k(-d, k, recall_target=approx_recall)
