@@ -84,14 +84,20 @@ def create_train_state(
     cfg: Dict[str, Any],
     steps_per_epoch: int = 1000,
     init_kwargs: Optional[Dict[str, Any]] = None,
+    tx: Optional[Any] = None,
 ) -> TrainState:
-    schedule = make_schedule(
-        cfg.get("LEARNING_RATE_DECAY", "step"),
-        cfg["BASE_LEARNING_RATE"],
-        steps_per_epoch,
-        cfg.get("MAX_EPOCH", 30),
-    )
-    tx = make_optimizer(cfg.get("OPTIMIZER", "adam"), schedule, cfg.get("MOMENTUM", 0.9))
+    """Init variables + optimizer. ``tx`` overrides the config-derived
+    optimizer (e.g. the SmoothAP pipeline's AdamW + MultiStepLR)."""
+    if tx is None:
+        schedule = make_schedule(
+            cfg.get("LEARNING_RATE_DECAY", "step"),
+            cfg["BASE_LEARNING_RATE"],
+            steps_per_epoch,
+            cfg.get("MAX_EPOCH", 30),
+        )
+        tx = make_optimizer(
+            cfg.get("OPTIMIZER", "adam"), schedule, cfg.get("MOMENTUM", 0.9)
+        )
     variables = jax.jit(
         lambda k, x: model.init(k, x, **(init_kwargs or {}))
     )(rng, example_input)

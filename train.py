@@ -126,6 +126,7 @@ def main():
     )
 
     model = get_model(model_type, cfg)
+    use_smoothap = cfg.get("LOSS_FUNCTION", "").lower() == "truncatedsmoothap"
     tuple_size = 1 + cfg["TRAIN_POSITIVES_PER_QUERY"] + cfg["TRAIN_NEGATIVES_PER_QUERY"] + 1
     n_dev = args.devices or len(jax.devices())
     if n_dev > 1:
@@ -143,10 +144,25 @@ def main():
     n_points = cfg["NUM_POINTS"] if cfg["dataset"] != "synthetic" else train_ds.scene.num_points
     example = jnp.zeros((cfg["TRAIN_BATCH_SIZE"] * tuple_size, n_points, 3))
     steps_per_epoch = max(len(train_ds) // cfg["TRAIN_BATCH_SIZE"], 1)
+    smoothap_step = tx_override = None
+    if use_smoothap:
+        # MinkLoc3Dv2 pipeline: AdamW + MultiStepLR built up front, not
+        # swapped in post-hoc (config_baseline.txt lr/weight_decay/
+        # scheduler_milestones)
+        sched = train.multistep_schedule(
+            cfg["BASE_LEARNING_RATE"],
+            cfg.get("scheduler_milestones", [250, 350]), steps_per_epoch,
+        )
+        smoothap_step, tx_override = train.build_smoothap_train_step(
+            model, sched, weight_decay=cfg.get("WEIGHT_DECAY"),
+            tau1=cfg.get("tau1", 0.01),
+            positives_per_query=cfg.get("positives_per_query", 4),
+        )
     state = train.create_train_state(
         model, jax.random.PRNGKey(cfg.get("MANUAL_SEED", 123)), example, cfg,
         steps_per_epoch=steps_per_epoch,
         init_kwargs={"with_patches": True} if use_patches else None,
+        tx=tx_override,
     )
     n_params = sum(x.size for x in jax.tree_util.tree_leaves(state.params))
     logger.info(f"Parameters: {n_params:,}")
@@ -186,36 +202,32 @@ def main():
         writer.close()
         return
 
-    if cfg.get("LOSS_FUNCTION", "").lower() == "truncatedsmoothap":
-        # MinkLoc3Dv2 training path: flat batches + (B,B) masks
-        from patchaugnet_tpu.train.smoothap import (
-            build_smoothap_train_step,
-            multistep_schedule,
-            train_one_epoch_smoothap,
-        )
-
-        sched = multistep_schedule(
-            cfg["BASE_LEARNING_RATE"], cfg.get("scheduler_milestones", [250, 350]),
-            steps_per_epoch,
-        )
-        sstep, tx = build_smoothap_train_step(
-            model, sched, weight_decay=cfg.get("WEIGHT_DECAY"),
-            tau1=cfg.get("tau1", 0.01),
-            positives_per_query=cfg.get("positives_per_query", 4),
-        )
-        state = state.replace(tx=tx, opt_state=tx.init(state.params))
+    if use_smoothap:
+        # MinkLoc3Dv2 training path: flat batches + (B,B) masks, with
+        # the same per-epoch eval + metrics the tuple path gets
         import random as _random
 
         rng = _random.Random(cfg.get("MANUAL_SEED", 123))
+        eval_every = cfg.get("EVAL_EVERY_N_EPOCHS", 1)
         for epoch in range(starting_epoch, cfg["MAX_EPOCH"]):
             logger.info(f"**** EPOCH {epoch:03d} (SmoothAP) ****")
-            state, summary = train_one_epoch_smoothap(
-                state, sstep, train_ds.scene,
+            state, summary = train.train_one_epoch_smoothap(
+                state, smoothap_step, train_ds.scene,
                 batch_size=cfg.get("SMOOTHAP_BATCH_SIZE", 16),
                 batches_per_epoch=args.max_batches or steps_per_epoch,
                 rng=rng, logger=logger,
             )
+            writer.add_scalars(
+                "epoch_loss",
+                {f"train_{k}": v for k, v in summary.items()},
+                epoch + 1,
+            )
             train.save_checkpoint(cfg["save_path"], state, epoch)
+            if (epoch + 1) % eval_every == 0 and len(test_ds) > 0:
+                train.evaluate(
+                    state.variables, forward, test_ds, logger=logger,
+                    writer=writer, epoch=epoch,
+                )
         writer.close()
         return
 
