@@ -11,10 +11,16 @@ instead of a sort. ~6x faster end to end.
 Matches ``ops.knn`` exactly: ascending distance, ties resolve to the
 lowest candidate index.
 
-(A fully fused variant that also computes distances in-kernel from
-(qb, 1) x (1, n) coordinate blocks miscompiles under current Mosaic —
-last-dim-1 block relayouts produce wrong results while interpret mode
-is exact — hence the split.)
+(Fusion history: a fully fused variant computing distances in-kernel
+from (qb, 1) x (1, n) coordinate blocks miscompiles under current
+Mosaic — last-dim-1 block relayouts produce wrong results while
+interpret mode is exact. Round 2 rebuilt it with 8-sublane-padded
+coordinates and a real (qb, 8) @ (8, n) in-kernel matmul: bit-exact
+against this split path on-chip (indices AND distances), but ~4%
+SLOWER at the level-1 shape — the tiny per-block matmul serializes
+with the VPU extraction sweeps, while the split path's one big XLA
+matmul pipelines against the extraction kernel's double-buffered HBM
+reads. The extraction ALU dominates either way, so the split stays.)
 """
 from __future__ import annotations
 
