@@ -42,7 +42,9 @@ def farthest_point_sample(
       ``(b, m)`` int32 indices into ``xyz``.
     """
     contracts.check_points(xyz, "xyz")
-    contracts.check_k(m, xyz.shape[-2], "m")
+    # m > n is allowed (duplicate indices), matching the fori_loop
+    # semantics — small-cloud probes init full-size models cheaply
+    assert m > 0, f"m={m} must be positive" 
     if use_pallas is None:
         use_pallas = jax.default_backend() not in ("cpu",)
     if use_pallas and m > 1:
