@@ -156,6 +156,57 @@ class TestTrainStep:
         )
 
 
+class TestTrainingQuality:
+    @pytest.mark.slow
+    def test_patch_aug_net_training_lifts_recall(self, model_and_state):
+        """Quality evidence for the flagship training loop: on a noise-
+        hardened synthetic scene (random-init recall@1 ~46%), quadruplet
+        + patch-loss training lifts recall@1 to ~75% in 48 tiny steps.
+        The same noise realisation is used on both sides — at 48 clouds
+        vs 7.8M params this measures the loop's ability to learn the
+        trained distribution, not generalisation."""
+
+        def harden(scene, scale=0.35, seed=7):
+            r = np.random.RandomState(seed)
+            scene._clouds = scene._clouds + (
+                r.randn(*scene._clouds.shape).astype(np.float32) * scale
+            )
+            scene._pc_cache.clear()
+            scene._pc_order.clear()
+
+        train_ds = make_synthetic_ds()
+        test_ds = make_synthetic_ds(for_training=False)
+        harden(train_ds.scene)
+        harden(test_ds.scene)
+
+        model, state = model_and_state
+        forward = train.build_forward_fn(model, SMALL_CFG)
+
+        def recall1(state):
+            out = train.evaluate(
+                state.variables, forward, test_ds, top_k=5, batch_size=6
+            )
+            return out.get("recall_at_1", 0.0)
+
+        r_init = recall1(state)
+        step = train.build_train_step(model, SMALL_CFG)
+        center_fn = train.build_center_fn(SMALL_CFG["SAMPLING"][0])
+        losses = []
+        for epoch in range(10):
+            summary = train.train_one_epoch(
+                state, step, train_ds, SMALL_CFG, epoch,
+                center_fn=center_fn, max_batches=8,
+            )
+            state = summary.pop("state")
+            losses.append(summary["total"])
+        r_trained = recall1(state)
+        # thresholds leave room for XLA-CPU (oneDNN) run-to-run jitter:
+        # observed init ~46-50%, trained ~58-85% across reassociations
+        assert losses[-1] < losses[0] * 0.6, losses
+        assert r_trained >= 55.0, (r_init, r_trained)
+        assert r_trained >= r_init + 5.0, (r_init, r_trained)
+
+
 class TestCheckpoint:
     def test_save_restore_roundtrip(self, model_and_state, tmp_path):
         model, state = model_and_state
