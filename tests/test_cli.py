@@ -93,3 +93,30 @@ def test_multi_device_cli_batch_bump(tmp_path):
             if name.endswith(".log"):
                 logs += open(os.path.join(root, name)).read()
     assert "TRAIN_BATCH_SIZE 2 -> 4" in logs
+
+
+@pytest.mark.slow
+def test_cli_resume_continues_training(tmp_path):
+    """--resume restores epoch + optimizer state and continues (the
+    reference resume semantics, train_place_recognition.py:518-526)."""
+    cfg, ckpt, _ = _run_train(tmp_path, "resume_base", devices=1, max_batches="1")
+    exp = str(tmp_path / "exp_resume_base")
+    env = dict(os.environ)
+    env.pop("PYTHONPATH", None)
+    env["JAX_PLATFORMS"] = "cpu"
+    cfg_path = str(tmp_path / "cfg_resume_base.yaml")
+    proc = subprocess.run(
+        [
+            sys.executable, "train.py", "--config", cfg_path,
+            "--dataset", "synthetic", "--platform", "cpu",
+            "--devices", "1", "--epochs", "2", "--max-batches", "1",
+            "--exp_dir", exp, "--resume", "train_epoch_0_end",
+        ],
+        cwd=REPO, env=env, capture_output=True, text=True, timeout=900,
+    )
+    assert proc.returncode == 0, proc.stderr[-3000:]
+    assert "Resumed from" in proc.stdout + proc.stderr
+    # resumed run starts at epoch 1 and writes its checkpoint
+    assert os.path.exists(
+        os.path.join(exp, "patch_aug_net", "saved_model", "train_epoch_1_end")
+    )
