@@ -69,6 +69,57 @@ class PointNet2SAModule(nn.Module):
         return SALevelOutput(new_xyz, center_idx, grouped.sample_idx, h)
 
 
+class MSGLevelOutput(NamedTuple):
+    new_xyz: jax.Array        # (B, npoint, 3)
+    center_idx: jax.Array     # (B, npoint)
+    sample_idx: jax.Array     # (B, npoint, sum(nsamples)) concatenated per scale
+    features: jax.Array       # (B, npoint, sum(mlp[-1] per scale))
+
+
+class PointNet2SAModuleMSG(nn.Module):
+    """Multi-scale set abstraction (reference ``PointNet2SAModuleMSG``,
+    patch_aug_net.py:195-289): one FPS centre set, several groupers at
+    different neighbourhood sizes (kNN or ball radius), each with its
+    own SharedMLP + neighbour max-pool; per-scale features concatenate
+    over channels and per-scale sample indices over the neighbour axis.
+    (Every shipped config is single-scale — this closes the declared
+    public surface, and ``PointNet2SAModule`` remains the fast path.)"""
+
+    npoint: int
+    nsamples: Sequence[int]
+    mlps: Sequence[Sequence[int]]
+    radii: Optional[Sequence[Optional[float]]] = None
+    knn_dilation: int = 1
+    use_xyz: bool = True
+
+    @nn.compact
+    def __call__(
+        self, xyz: jax.Array, features: jax.Array, *, train: bool = False
+    ) -> MSGLevelOutput:
+        assert len(self.nsamples) == len(self.mlps)
+        center_idx = ops.farthest_point_sample(xyz, self.npoint)
+        new_xyz = ops.gather(xyz, center_idx)
+        center_feats = ops.gather(features, center_idx)
+        feats_list, idx_list = [], []
+        for i, (ns, mlp) in enumerate(zip(self.nsamples, self.mlps)):
+            grouped = ops.query_and_group_edge(
+                xyz, new_xyz, features, center_feats,
+                nsample=ns,
+                radius=self.radii[i] if self.radii is not None else None,
+                knn_dilation=self.knn_dilation,
+                use_xyz=self.use_xyz,
+            )
+            h = SharedMLP(mlp, name=f"mlp{i}")(grouped.new_features, train=train)
+            feats_list.append(jnp.max(h, axis=2))
+            idx_list.append(grouped.sample_idx)
+        return MSGLevelOutput(
+            new_xyz,
+            center_idx,
+            jnp.concatenate(idx_list, axis=-1),
+            jnp.concatenate(feats_list, axis=-1),
+        )
+
+
 class PointNet2FPModule(nn.Module):
     """Feature-propagation level: 3-NN interpolate + SharedMLP."""
 

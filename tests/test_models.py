@@ -160,3 +160,51 @@ class TestPatchAugNet:
         g = jax.grad(loss)(variables["params"])
         total = sum(float(jnp.abs(l).sum()) for l in jax.tree_util.tree_leaves(g))
         assert np.isfinite(total) and total > 0
+
+
+class TestMSGModule:
+    def test_multi_scale_concat(self, rng):
+        """PointNet2SAModuleMSG: per-scale features concatenate over
+        channels, sample indices over the neighbour axis
+        (reference patch_aug_net.py:195-289)."""
+        import jax
+        import jax.numpy as jnp
+        from patchaugnet_tpu.models.backbone import PointNet2SAModuleMSG
+
+        xyz = jnp.asarray(rng.rand(2, 64, 3).astype(np.float32))
+        feats = jnp.asarray(rng.rand(2, 64, 8).astype(np.float32))
+        msg = PointNet2SAModuleMSG(
+            npoint=16, nsamples=(4, 8), mlps=((16, 16), (16, 32)),
+        )
+        v = msg.init(jax.random.PRNGKey(0), xyz, feats)
+        out = msg.apply(v, xyz, feats)
+        assert out.new_xyz.shape == (2, 16, 3)
+        assert out.sample_idx.shape == (2, 16, 12)      # 4 + 8
+        assert out.features.shape == (2, 16, 48)        # 16 + 32
+        assert bool(jnp.isfinite(out.features).all())
+
+    def test_single_scale_matches_sa_module(self, rng):
+        """With one scale and identical widths, MSG reduces to the
+        single-scale module's feature computation."""
+        import jax
+        import jax.numpy as jnp
+        from patchaugnet_tpu.models.backbone import (
+            PointNet2SAModule, PointNet2SAModuleMSG,
+        )
+
+        xyz = jnp.asarray(rng.rand(2, 64, 3).astype(np.float32))
+        feats = jnp.asarray(rng.rand(2, 64, 8).astype(np.float32))
+        sa = PointNet2SAModule(npoint=16, nsample=4, mlp=(16, 16))
+        msg = PointNet2SAModuleMSG(npoint=16, nsamples=(4,), mlps=((16, 16),))
+        v_sa = sa.init(jax.random.PRNGKey(0), xyz, feats)
+        # rename mlp -> mlp0 to feed the same weights to the MSG module
+        v_msg = {"params": {"mlp0": v_sa["params"]["mlp"]},
+                 "batch_stats": {"mlp0": v_sa["batch_stats"]["mlp"]}}
+        out_sa = sa.apply(v_sa, xyz, feats)
+        out_msg = msg.apply(v_msg, xyz, feats)
+        np.testing.assert_array_equal(
+            np.asarray(out_sa.features), np.asarray(out_msg.features)
+        )
+        np.testing.assert_array_equal(
+            np.asarray(out_sa.sample_idx), np.asarray(out_msg.sample_idx)
+        )
