@@ -32,6 +32,8 @@ def get_args():
     p = argparse.ArgumentParser(description="Place Recognition Evaluation (TPU)")
     p.add_argument("--model_type", type=str, default="patch_aug_net",
                    choices=sorted(CONFIG_TABLE))
+    p.add_argument("--config", type=str, default=None,
+                   help="override the model_type -> config resolution")
     p.add_argument("--weight", type=str, default=None, help="checkpoint path")
     p.add_argument("--dataset", type=str, default="oxford")
     p.add_argument("--exp_dir", type=str, default="exp")
@@ -68,7 +70,7 @@ def main():
     jax.config.update("jax_default_matmul_precision", "float32")
     import yaml
 
-    cfg = yaml.safe_load(open(CONFIG_TABLE[args.model_type]))
+    cfg = yaml.safe_load(open(args.config or CONFIG_TABLE[args.model_type]))
     cfg["model_type"] = args.model_type
     cfg["dataset"] = args.dataset
 
@@ -91,12 +93,18 @@ def main():
     logger.info(f"test records: {len(test_ds)}, trips: {test_ds.scene.trip_names}")
 
     model = get_model(args.model_type, cfg)
-    use_patches = args.model_type == "patch_aug_net"
+    # mirror train.py's init condition so training checkpoints restore
+    # with the identical parameter tree (incl. the patch decoder)
+    use_patches = args.model_type == "patch_aug_net" and (
+        cfg.get("use_patch_recon") or cfg.get("use_patch_feature_contrast")
+    )
     n_points = cfg["NUM_POINTS"] if cfg["dataset"] != "synthetic" else test_ds.scene.num_points
     example = jnp.zeros((args.batch_size, n_points, 3))
+    # init WITH the patch decoder so training checkpoints (which carry
+    # those params) restore exactly; the eval forward never uses them
     state = train.create_train_state(
         model, jax.random.PRNGKey(cfg.get("MANUAL_SEED", 123)), example, cfg,
-        init_kwargs={"with_patches": False} if use_patches else None,
+        init_kwargs={"with_patches": True} if use_patches else None,
     )
     if args.weight:
         # accepts orbax dirs (this framework) and torch .pth via the

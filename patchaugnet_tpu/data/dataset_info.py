@@ -207,3 +207,39 @@ _register(DatasetInfo(
     test_radius_pos=25.0, test_radius_neg=50.0,
     num_points=4096,
 ))
+
+
+# --------------------------------------------------- user-defined datasets
+EXTRA_DATASETS_ENV = "PCR_EXTRA_DATASETS"
+
+
+def load_extra_datasets(path: Optional[str] = None) -> List[str]:
+    """Register datasets from a YAML file (list of DatasetInfo field
+    dicts). The reference bakes every dataset into code with absolute
+    paths (dataset_info.py:70,90,...); here new benchmarks are one YAML
+    entry + the ``PCR_EXTRA_DATASETS`` env var — no code edits.
+
+    Returns the registered names. Called automatically at import when
+    the env var is set.
+    """
+    path = path or os.environ.get(EXTRA_DATASETS_ENV)
+    if not path or not os.path.exists(path):
+        return []
+    import yaml
+
+    names = []
+    dtype_map = {"float64": np.float64, "float32": np.float32}
+    for entry in yaml.safe_load(open(path)) or []:
+        entry = dict(entry)
+        if "cloud_dtype" in entry:
+            entry["cloud_dtype"] = dtype_map[str(entry["cloud_dtype"])]
+        if "global_offset" in entry:
+            entry["global_offset"] = np.asarray(
+                entry["global_offset"], np.float64
+            ).reshape(1, -1)
+        info = _register(DatasetInfo(**entry))
+        names.append(info.name)
+    return names
+
+
+load_extra_datasets()
