@@ -51,10 +51,16 @@ def main():
     )
     step = train.build_train_step(model, cfg)
 
+    # like the real loop: correspondences + mask cover exactly the
+    # query+positive clouds (the patch branch's related subset)
     T, M = cfg["A2B_MAX_ROWS"], cfg["SAMPLING"][0]
+    tuple_size = 1 + 2 + 14 + 1
+    related = np.concatenate(
+        [np.arange(3) + j * tuple_size for j in range(cfg["TRAIN_BATCH_SIZE"])]
+    )
     corr = PatchCorrespondences(
-        row_q_cloud=jnp.asarray(rng.randint(0, total, T), jnp.int32),
-        row_n_cloud=jnp.asarray(rng.randint(0, total, T), jnp.int32),
+        row_q_cloud=jnp.asarray(rng.choice(related, T), jnp.int32),
+        row_n_cloud=jnp.asarray(rng.choice(related, T), jnp.int32),
         row_q_idx=jnp.asarray(rng.randint(0, M, T), jnp.int32),
         row_pos_idx=jnp.asarray(rng.randint(0, M, T), jnp.int32),
         row_neg_idx=jnp.asarray(rng.randint(0, M, T), jnp.int32),
@@ -62,7 +68,7 @@ def main():
         row_valid=jnp.asarray(rng.rand(T) < 0.5),
         num_pairs=cfg["A2B_MAX_PAIRS"],
     )
-    mask = jnp.ones((total,), bool)
+    mask = jnp.zeros((total,), bool).at[jnp.asarray(related)].set(True)
 
     state, metrics = step(state, clouds, corr, mask)       # compile
     np.asarray(metrics["total"])

@@ -10,13 +10,14 @@ default), and the patch-reconstruction branch.
 TPU re-architecture of the patch branch: the reference loops over
 "related clouds" on the host and runs the decoder per cloud
 (patch_aug_net.py:68-103) with repeated device syncs; here the branch is
-**vectorised over the whole batch** — origin patches, L2-normalised
-patch features and reconstructed patches are produced for every cloud in
-one program, and the patch-contrast losses select rows with padded index
-tables (see losses/patch_contrast.py). Selecting all clouds is the
-static-shape superset of the reference's dynamic selection; unused rows
-cost nothing extra on the MXU at these sizes and keep the whole train
-step jittable.
+**vectorised and static-shape** — origin patches, L2-normalised patch
+features and reconstructed patches come out of one program, and the
+patch-contrast losses select rows with padded index tables (see
+losses/patch_contrast.py). ``patch_rows`` restricts the branch to a
+fixed-size subset of clouds (the queries+positives that actually feed
+the patch losses — the reference's related_cloud_idx, :68-74), cutting
+the decoder/chamfer work ~(1+P+N+1)/(1+P)x per train step; ``None``
+keeps the whole-batch superset (eval / descriptor dumps).
 """
 from __future__ import annotations
 
@@ -61,7 +62,12 @@ class PatchAugNet(nn.Module):
 
     @nn.compact
     def __call__(
-        self, x: jax.Array, *, train: bool = False, with_patches: bool = False
+        self,
+        x: jax.Array,
+        *,
+        train: bool = False,
+        with_patches: bool = False,
+        patch_rows: Optional[jax.Array] = None,
     ) -> PatchAugNetOutput:
         if x.ndim == 4:
             x = x.squeeze(1)
@@ -127,10 +133,18 @@ class PatchAugNet(nn.Module):
 
         patch_data = None
         if with_patches:
-            # Level-1 patches for every cloud in the batch (vectorised
-            # replacement for patch_aug_net.py:68-103).
-            origin_patches = ops.group(xyz, sample_origin[0])  # (B,1024,k,3)
-            pf = fp_features[1]                                # (B,1024,C)
+            # Level-1 patches (vectorised replacement for
+            # patch_aug_net.py:68-103); patch_rows = the reference's
+            # related_cloud_idx as a static-size index table.
+            if patch_rows is not None:
+                xyz_p = xyz[patch_rows]
+                sample0 = sample_origin[0][patch_rows]
+                center0 = center_origin[0][patch_rows]
+                pf = fp_features[1][patch_rows]
+            else:
+                xyz_p, sample0 = xyz, sample_origin[0]
+                center0, pf = center_origin[0], fp_features[1]
+            origin_patches = ops.group(xyz_p, sample0)         # (R,1024,k,3)
             if self.use_l2_norm:
                 pf = l2_normalize(pf, axis=-1)
             recon = None
@@ -140,7 +154,7 @@ class PatchAugNet(nn.Module):
                     embedding_size=fs[1], num_points=knn[0], name="decoder"
                 )(pf.reshape(b * m, c), train=train)
                 recon = recon.reshape(b, m, knn[0], 3)
-            patch_data = PatchData(center_origin[0], origin_patches, pf, recon)
+            patch_data = PatchData(center0, origin_patches, pf, recon)
 
         return PatchAugNetOutput(
             desc, fp_features, center_origin, sample_origin, patch_data

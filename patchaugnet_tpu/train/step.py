@@ -67,8 +67,26 @@ def make_loss_fn(model, cfg: Dict[str, Any]) -> Callable:
         "patch_recon_a2b": cfg.get("weight_patch_feature_contrast", 0.25),
     }
 
+    # The patch losses only ever touch queries + positives (the
+    # reference's related_cloud_idx, patch_aug_net.py:68-74): run the
+    # decoder/chamfer on that fixed-size subset instead of the whole
+    # (1+P+N+1)-wide tuple batch — ~6x less patch-branch work at the
+    # reference config.
+    max_patch_clouds = cfg.get(
+        "A2A_MAX_CLOUDS", batch_size * (1 + num_pos)
+    )
+
     def loss_fn(params, batch_stats, clouds, corr, cloud_mask):
-        kwargs = {"with_patches": True} if use_patches else {}
+        kwargs = {}
+        sel_valid = None
+        if use_patches:
+            total_clouds = clouds.shape[0]
+            r = min(max_patch_clouds, total_clouds)
+            sel = jnp.nonzero(cloud_mask, size=r, fill_value=0)[0].astype(
+                jnp.int32
+            )
+            sel_valid = jnp.arange(r) < jnp.sum(cloud_mask)
+            kwargs = {"with_patches": True, "patch_rows": sel}
         out, mutated = model.apply(
             {"params": params, "batch_stats": batch_stats},
             clouds,
@@ -85,12 +103,36 @@ def make_loss_fn(model, cfg: Dict[str, Any]) -> Callable:
         if use_a2a:
             pd = out.patch_data
             metrics["patch_recon_a2a"] = L.patch_chamfer_loss(
-                pd.origin_patches, pd.reconstructed_patches, cloud_mask
+                pd.origin_patches, pd.reconstructed_patches, sel_valid
             )
         if use_a2b:
             pd = out.patch_data
+            # remap correspondence cloud ids (flat-batch positions) to
+            # subset rows; only valid sel entries scatter (fill rows
+            # park at index total_clouds and are sliced away)
+            scatter_to = jnp.where(sel_valid, sel, total_clouds)
+            pos_of = (
+                jnp.zeros((total_clouds + 1,), jnp.int32)
+                .at[scatter_to]
+                .set(jnp.arange(sel.shape[0], dtype=jnp.int32))[:total_clouds]
+            )
+            covered = (
+                jnp.zeros((total_clouds + 1,), bool)
+                .at[scatter_to]
+                .set(True)[:total_clouds]
+            )
+            corr_sub = corr._replace(
+                row_q_cloud=pos_of[corr.row_q_cloud],
+                row_n_cloud=pos_of[corr.row_n_cloud],
+                # rows referencing clouds outside the subset cannot be
+                # evaluated there (they never occur in the real loop:
+                # corr rows come from nn_dict = the masked clouds)
+                row_valid=corr.row_valid
+                & covered[corr.row_q_cloud]
+                & covered[corr.row_n_cloud],
+            )
             metrics["patch_recon_a2b"] = L.patch_contrastive_loss(
-                pd.patch_features, corr, m1
+                out.patch_data.patch_features, corr_sub, m1
             )
         total = sum(w[k] * v for k, v in metrics.items())
         metrics = {k: w[k] * v for k, v in metrics.items()}
