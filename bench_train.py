@@ -21,6 +21,10 @@ ITERS = 10
 def main():
     import numpy as np
     import jax
+
+    # measure what training actually runs: train.py pins f32 matmul
+    # precision (the TPU bf16 default corrupts near-duplicate rankings)
+    jax.config.update("jax_default_matmul_precision", "float32")
     import jax.numpy as jnp
 
     from __graft_entry__ import FULL_PARAM

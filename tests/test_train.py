@@ -263,6 +263,95 @@ class TestTrainingQuality:
         assert r_trained >= 55.0, (r_init, r_trained)
         assert r_trained >= r_init + 5.0, (r_init, r_trained)
 
+    def _train_and_measure(self, model_type, model_cfg, epochs=10, scale=0.35):
+        """Shared quality harness for the non-patch model families:
+        train on the noise-hardened synthetic scene, return
+        (losses, recall@1 init, recall@1 trained)."""
+        cfg = dict(SMALL_CFG)
+        cfg.pop("use_patch_recon")
+        cfg.pop("use_patch_feature_contrast")
+        cfg.pop("use_hard_negative_patch_mining")
+        cfg.update(model_cfg)
+        cfg["model_type"] = model_type
+
+        def harden(scene, seed=7):
+            r = np.random.RandomState(seed)
+            scene._clouds = scene._clouds + (
+                r.randn(*scene._clouds.shape).astype(np.float32) * scale
+            )
+            scene._pc_cache.clear()
+            scene._pc_order.clear()
+
+        train_ds = make_synthetic_ds()
+        test_ds = make_synthetic_ds(for_training=False)
+        harden(train_ds.scene)
+        harden(test_ds.scene)
+
+        model = get_model(model_type, cfg)
+        tuple_size = (
+            1 + cfg["TRAIN_POSITIVES_PER_QUERY"] + cfg["TRAIN_NEGATIVES_PER_QUERY"] + 1
+        )
+        x = jnp.zeros((cfg["TRAIN_BATCH_SIZE"] * tuple_size, cfg["NUM_POINTS"], 3))
+        state = train.create_train_state(model, jax.random.PRNGKey(0), x, cfg)
+        forward = train.build_forward_fn(model, cfg)
+
+        def recall1(state):
+            out = train.evaluate(
+                state.variables, forward, test_ds, top_k=5, batch_size=6
+            )
+            return out.get("recall_at_1", 0.0)
+
+        r_init = recall1(state)
+        step = train.build_train_step(model, cfg)
+        losses = []
+        for epoch in range(epochs):
+            summary = train.train_one_epoch(
+                state, step, train_ds, cfg, epoch, max_batches=8,
+            )
+            state = summary.pop("state")
+            losses.append(summary["total"])
+        return losses, r_init, recall1(state)
+
+    @pytest.mark.slow
+    def test_pptnet_training_lifts_recall(self):
+        """Same quality evidence for the PPT-Net family (4-level SA +
+        grouped attention + 4-scale SPVLAD): quadruplet training on the
+        hardened synthetic scene lifts recall@1 well above random init.
+        PPT-Net's multi-scale features give unusually high random-init
+        recall at mild noise (~62% at scale 0.35), so this family is
+        hardened at scale 0.9 (init ~33%, trained ~92% at 96 steps;
+        thresholds absorb XLA-CPU reassociation jitter)."""
+        losses, r_init, r_trained = self._train_and_measure(
+            "pptnet",
+            epochs=12,
+            scale=0.9,
+            model_cfg={
+                "NUM_POINTS": 128,
+                "SAMPLING": [32, 16, 8, 4],
+                "KNN": [8, 8, 4, 4],
+                "FEATURE_SIZE": [256, 256, 256, 256],
+                "MAX_SAMPLES": [8, 16, 32, 128],
+                "CLUSTER_SIZE": [1, 4, 16, 64],
+                "OUTPUT_DIM": [256, 256, 256, 256],
+                "GATING": True,
+            },
+        )
+        assert min(losses) < losses[0] * 0.7, losses
+        assert r_trained >= 55.0, (r_init, r_trained)
+        assert r_trained >= r_init + 5.0, (r_init, r_trained)
+
+    @pytest.mark.slow
+    def test_pointnet_vlad_training_lifts_recall(self):
+        """Same quality evidence for PointNetVLAD (STN + conv stack +
+        NetVLAD loupe head)."""
+        losses, r_init, r_trained = self._train_and_measure(
+            "pointnet_vlad",
+            {"NUM_POINTS": 128, "FEATURE_OUTPUT_DIM": 256},
+        )
+        assert min(losses) < losses[0] * 0.7, losses
+        assert r_trained >= 55.0, (r_init, r_trained)
+        assert r_trained >= r_init + 5.0, (r_init, r_trained)
+
 
 class TestCheckpoint:
     def test_save_restore_roundtrip(self, model_and_state, tmp_path):
