@@ -61,6 +61,12 @@ class TestKNN:
                 d2[b], np.take_along_axis(dm, ref_idx, 1), atol=1e-3
             )
 
+    def test_pairwise_rejects_mismatched_widths(self, rng):
+        x = rng.rand(1, 5, 3).astype(np.float32)
+        y = rng.rand(1, 7, 4).astype(np.float32)
+        with pytest.raises(ValueError, match="coordinate widths differ"):
+            ops.pairwise_sqdist(x, y)
+
     def test_self_query(self, rng):
         xyz = rng.randn(1, 50, 3).astype(np.float32)
         idx, d2 = ops.knn(xyz, None, 1)
@@ -257,6 +263,12 @@ class TestEMD:
         chunk = _pick_row_chunk(4, 4096)
         assert chunk < 4096 and 4 * chunk * 4096 <= _VALUE_BUDGET
         assert 4096 % chunk == 0
+        # non-power-of-two clouds still honour the budget (largest
+        # divisor of n that fits; 1 always divides)
+        for b, n in [(1, 9999), (32, 4095), (8, 7919)]:  # 7919 prime
+            chunk = _pick_row_chunk(b, n)
+            assert n % chunk == 0
+            assert b * chunk * n <= _VALUE_BUDGET or chunk == 1
 
 
 class TestLabelStat:
