@@ -85,10 +85,17 @@ def main():
     logger = get_logger(os.path.join(args.exp_dir, args.model_type, "eval"))
     logger.info(f"devices: {jax.devices()}")
 
-    test_ds = data.PlaceRecognitionDataset(
-        cfg["dataset"], for_training=False,
+    ds_kwargs = dict(
         num_pos=cfg.get("EVAL_POSITIVES_PER_QUERY", 4),
         num_neg=cfg.get("EVAL_NEGATIVES_PER_QUERY", 10),
+    )
+    if cfg["dataset"] == "synthetic":
+        # mirror train.py:114-115 — the synthetic scene must regenerate
+        # at the config's cloud size or checkpoints trained at
+        # non-default NUM_POINTS evaluate on different-size clouds
+        ds_kwargs["num_points"] = cfg["NUM_POINTS"]
+    test_ds = data.PlaceRecognitionDataset(
+        cfg["dataset"], for_training=False, **ds_kwargs,
     )
     logger.info(f"test records: {len(test_ds)}, trips: {test_ds.scene.trip_names}")
 

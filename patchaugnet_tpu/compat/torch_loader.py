@@ -368,8 +368,6 @@ def convert_minkloc3dv2(
         sd, "backbone.conv0.kernel", "backbone.bn0.bn", conv0_kernel_size
     )
     num_bottom_up = len(layers)
-    in_ch = planes[0]
-    expansion = 4 if block == "Bottleneck" else 1
     for i in range(num_bottom_up):
         p[f"down{i}"], s[f"down{i}"] = _me_conv_bn(
             sd, f"backbone.convs.{i}.kernel", f"backbone.bn.{i}.bn", 2
@@ -398,7 +396,6 @@ def convert_minkloc3dv2(
                 )
             p[f"block{i}_{j}"] = bp
             s[f"block{i}_{j}"] = bs
-            in_ch = planes[i] * expansion
     p["lateral0"] = {"kernel": sd.take("backbone.conv1x1.0.kernel", _t_me_1x1)}
     for i in range(num_top_down):
         p[f"tconv{i}"] = {

@@ -141,6 +141,10 @@ class SceneDataset:
         self._pc_cache, self._pc_order = {}, deque()
         self._g_desc_cache, self._g_order = {}, deque()
         self._l_cache, self._l_order = {}, deque()
+        # model types whose on-disk store THIS process wrote (make_descs
+        # with save_model_type): only those stores are safe to reload in
+        # place of the in-memory descriptors
+        self._stores_written = set()
 
     # ----------------------------------------------------------- create
     def create(self, max_neg: int = 10000, save: bool = True) -> None:
@@ -480,6 +484,12 @@ class SceneDataset:
         reference get_g_desc, scene_dataset.py:788-804)."""
         if idx not in self._g_desc_cache:
             path = os.path.join(self.g_desc_dir(model_type), f"{idx}.pickle")
+            if not os.path.exists(path):
+                raise FileNotFoundError(
+                    f"descriptor store incomplete: {path} is missing "
+                    f"(records={len(self.records)}); re-run make_descs "
+                    f"with save_model_type={model_type!r}"
+                )
             with open(path, "rb") as f:
                 self._g_desc_cache[idx] = pickle.load(f)
             self._g_order.append(idx)
@@ -612,6 +622,10 @@ class SceneDataset:
                 descs.append(out)
             pending = (handle, idx, clouds, metas, t0) if s is not None else None
         self.global_descs = np.concatenate(descs)
+        if save_model_type is not None:
+            self._stores_written.add(save_model_type)
+            self._g_desc_cache.clear()
+            self._g_order.clear()
         if stat_time and times:
             # skip the first (compile) batch like the reference skips
             # warm-up noise in its mean/std report
@@ -706,10 +720,18 @@ class SceneDataset:
         return "test" if self.data_cfg["is_test_dataset"] else "train"
 
     def _ensure_global_descs(self, model_type: Optional[str]) -> None:
-        """The reference always reloads descriptors from the store
-        before a top-k dump (scene_dataset.py:874-876); fall back to the
-        in-memory matrix when no store exists."""
-        if model_type is not None and os.path.isdir(self.g_desc_dir(model_type)):
+        """The reference reloads descriptors from the store before a
+        top-k dump (scene_dataset.py:874-876) — safe there because its
+        eval flow always writes the store first. Here the store may be
+        stale (a previous run's checkpoint, ``--no_save_descs``, the
+        sharded eval path): reload only when this process wrote it, or
+        when there is no in-memory matrix to prefer."""
+        store_ok = model_type is not None and os.path.isdir(
+            self.g_desc_dir(model_type)
+        )
+        if store_ok and (
+            model_type in self._stores_written or self.global_descs is None
+        ):
             self.global_descs = np.concatenate(
                 self.get_g_descs(model_type, list(range(len(self.records))))
             )
@@ -808,6 +830,8 @@ class SceneDataset:
         mode returns one labelled dict; test mode one dict per
         (query_trip, ref_trip). With ``save`` (and ``model_type``) the
         pickles land in the reference layout under ``desc_dir``."""
+        if len(self.records) == 0:                 # ref scene_dataset.py:871-872
+            return None
         self._ensure_global_descs(model_type)
         extra = self._basename_extra()
         if not self.data_cfg["is_test_dataset"]:

@@ -45,10 +45,15 @@ _VALUE_BUDGET = 32 * 1024 * 1024      # floats live in the value sweep
 
 
 def _pick_row_chunk(b: int, n: int) -> int:
-    chunk = n
-    while b * chunk * n > _VALUE_BUDGET and chunk % 2 == 0:
-        chunk //= 2
-    return chunk
+    """Largest divisor of ``n`` whose ``(b, chunk, n)`` value sweep fits
+    the budget (any ``n``, not just powers of two; ``1`` always
+    divides, so the budget is always enforceable)."""
+    if b * n * n <= _VALUE_BUDGET:
+        return n
+    for c in range(n // 2, 0, -1):
+        if n % c == 0 and b * c * n <= _VALUE_BUDGET:
+            return c
+    return 1
 
 
 def _auction(

@@ -139,21 +139,15 @@ def nn_angle(c: np.ndarray, k: int = 3) -> np.ndarray:
     the KNN_CUDA consumer; here the kNN is the framework's own op).
 
     Args: c ``(m, 3)`` or ``(b, m, 3)``. Returns ``(b, k, m, m)``.
+    Host-side convenience wrapper over the jittable
+    ``nn.extras.nn_angle_jax`` (one implementation of the angle math).
     """
-    from .. import ops
+    from ..nn.extras import nn_angle_jax
 
     c = np.asarray(c, np.float32)
     if c.ndim == 2:
         c = c[None]
-    idx = np.asarray(ops.knn(c, None, k + 1)[0])[..., 1:]   # (b, m, k)
-    b, m, _ = c.shape
-    c2 = np.stack([c[i][idx[i]] for i in range(b)])         # (b, m, k, 3)
-    c01 = c[:, None, :, :] - c[:, :, None, :]               # (b, m, m, 3)
-    c02 = c2 - c[:, :, None, :]                             # (b, m, k, 3)
-    c01n = c01 / np.maximum(np.linalg.norm(c01, axis=-1, keepdims=True), 1e-8)
-    c02n = c02 / np.maximum(np.linalg.norm(c02, axis=-1, keepdims=True), 1e-8)
-    # (b, k, m, m): cos between edge (i -> j) and edge (i -> knn_r(i))
-    return np.einsum("bmkd,bmjd->bkmj", c02n, c01n)
+    return np.asarray(nn_angle_jax(c, k))
 
 
 def voxel_downsample(points: np.ndarray, voxel_size: float) -> np.ndarray:

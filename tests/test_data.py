@@ -440,6 +440,58 @@ class TestDescriptorStore:
         kpt_u, _ = ds.get_l_kpt_desc("patch_aug_net", 0, unify_coord=True)
         assert kpt_u.shape == (K, 3)
 
+    def test_stale_store_not_preferred(self, tmp_path, monkeypatch):
+        """A store on disk from an earlier run must NOT displace the
+        descriptors computed in-memory this run (e.g. evaluating a new
+        checkpoint with --no_save_descs, or the sharded eval path):
+        reload only when this process wrote the store."""
+        monkeypatch.setenv(data.DATA_ROOT_ENV, str(tmp_path))
+        ds = data.SceneDataset("synthetic", for_training=False)
+        ds.create_synthetic(n_trips=2, n_per_trip=6, num_points=32)
+        os.makedirs(ds.data_dir(), exist_ok=True)
+        ds.make_descs(lambda c: c.mean(axis=1), batch_size=len(ds.records),
+                      save_model_type="m")
+        stored = ds.global_descs.copy()
+        # simulate a fresh process evaluating a different checkpoint
+        ds._stores_written.clear()
+        ds._g_desc_cache.clear()
+        ds._g_order.clear()
+        fresh = stored + 1.0
+        ds.global_descs = fresh.copy()
+        ds._ensure_global_descs("m")
+        np.testing.assert_array_equal(ds.global_descs, fresh)
+        # with no in-memory matrix the store is the right fallback
+        ds.clear_global_descs()
+        ds._ensure_global_descs("m")
+        np.testing.assert_allclose(ds.global_descs, stored, rtol=1e-6)
+        # a store written THIS run is authoritative again
+        ds.global_descs = fresh.copy()
+        ds._stores_written.add("m")
+        ds._ensure_global_descs("m")
+        np.testing.assert_allclose(ds.global_descs, stored, rtol=1e-6)
+
+    def test_incomplete_store_raises_clear_error(self, tmp_path, monkeypatch):
+        monkeypatch.setenv(data.DATA_ROOT_ENV, str(tmp_path))
+        ds = data.SceneDataset("synthetic", for_training=False)
+        ds.create_synthetic(n_trips=2, n_per_trip=6, num_points=32)
+        os.makedirs(ds.data_dir(), exist_ok=True)
+        ds.make_descs(lambda c: c.mean(axis=1), batch_size=len(ds.records),
+                      save_model_type="m")
+        os.remove(os.path.join(ds.g_desc_dir("m"), "3.pickle"))
+        ds._g_desc_cache.clear()
+        ds._g_order.clear()
+        ds.clear_global_descs()
+        with pytest.raises(FileNotFoundError, match="store incomplete"):
+            ds._ensure_global_descs("m")
+
+    def test_empty_records_top_k_returns_none(self):
+        """Reference returns None for empty scenes
+        (scene_dataset.py:871-872) instead of crashing."""
+        ds = data.SceneDataset("synthetic", for_training=False)
+        ds.create_synthetic(n_trips=2, n_per_trip=6, num_points=32)
+        ds.records = ds.records.iloc[0:0]
+        assert ds.find_top_k_feat("m") is None
+
     def test_cloud_cache_hits(self, monkeypatch):
         """Second pass over the scene must not reload from the source
         (reference pc_dict cache, scene_dataset.py:713-741)."""
