@@ -37,13 +37,18 @@ def sharded_knn(
     k: int,
     mesh: Mesh,
     axis_name: str = "data",
+    batch_axis: Optional[str] = None,
 ) -> Tuple[jax.Array, jax.Array]:
     """Exact kNN with the reference-point axis sharded over the mesh.
 
     Args:
       xyz: ``(b, n, 3)`` points; the n axis is sharded ``P(None, axis)``.
-      new_xyz: ``(b, m, 3)`` queries, replicated.
-    Returns replicated ``(idx, d2)`` identical to ``ops.knn``.
+      new_xyz: ``(b, m, 3)`` queries, replicated along ``axis_name``.
+      batch_axis: optional second mesh axis sharding the batch dim of
+        both inputs (dp x sp composite on a 2D mesh: the per-shard
+        all_gather then rides only the ``axis_name`` subgroups).
+    Returns ``(idx, d2)`` identical to ``ops.knn`` (replicated along
+    ``axis_name``, batch-sharded along ``batch_axis`` when given).
     """
     n = xyz.shape[1]
     n_dev = mesh.shape[axis_name]
@@ -62,8 +67,8 @@ def sharded_knn(
     fn = shard_map(
         local,
         mesh=mesh,
-        in_specs=(P(None, axis_name, None), P(None, None, None)),
-        out_specs=(P(None, None, None), P(None, None, None)),
+        in_specs=(P(batch_axis, axis_name, None), P(batch_axis, None, None)),
+        out_specs=(P(batch_axis, None, None), P(batch_axis, None, None)),
         check_vma=False,  # replicated post-all_gather (not statically inferable)
     )
     return fn(xyz, new_xyz)
@@ -99,19 +104,22 @@ def sharded_fps(
     m: int,
     mesh: Mesh,
     axis_name: str = "data",
+    batch_axis: Optional[str] = None,
 ) -> jax.Array:
     """Exact FPS with the point axis sharded over the mesh.
 
     Identical indices to ``ops.farthest_point_sample``: first global
     index 0, ties to lowest index; each step exchanges one candidate
-    (max min-distance value, index) per device.
+    (max min-distance value, index) per device. ``batch_axis``
+    optionally shards the batch dim over a second mesh axis (dp x sp).
     """
-    b, n, _ = xyz.shape
+    _, n, _ = xyz.shape
     n_dev = mesh.shape[axis_name]
     assert n % n_dev == 0
     shard_n = n // n_dev
 
     def local(xyz_shard):
+        b = xyz_shard.shape[0]                             # local batch rows
         dev = jax.lax.axis_index(axis_name)
         offset = dev * shard_n
 
@@ -153,8 +161,8 @@ def sharded_fps(
     fn = shard_map(
         local,
         mesh=mesh,
-        in_specs=(P(None, axis_name, None),),
-        out_specs=P(None, None),
+        in_specs=(P(batch_axis, axis_name, None),),
+        out_specs=P(batch_axis, None),
         check_vma=False,  # every device reduces the gathered candidates
     )
     return fn(xyz)

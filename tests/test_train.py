@@ -439,6 +439,30 @@ class TestShardedOps:
         got = np.asarray(sharded_fps(x, 64, mesh))
         np.testing.assert_array_equal(ref, got)
 
+    def test_dp_sp_composite_2d_mesh(self, rng):
+        """dp x sp on one 2D mesh: batch sharded over 'data' AND the
+        point axis over 'points' — the ICI collectives ride only the
+        'points' subgroups; results bit-match the single-device ops."""
+        from jax.sharding import Mesh
+        from patchaugnet_tpu import ops
+        from patchaugnet_tpu.parallel.sharded_ops import sharded_fps, sharded_knn
+
+        devs = np.array(jax.devices()[:8]).reshape(2, 4)
+        mesh = Mesh(devs, ("data", "points"))
+        x = jnp.asarray(rng.rand(4, 256, 3).astype(np.float32))
+        q = jnp.asarray(rng.rand(4, 64, 3).astype(np.float32))
+        ref_i, ref_d = ops.knn(x, q, 10)
+        got_i, got_d = sharded_knn(
+            x, q, 10, mesh, axis_name="points", batch_axis="data"
+        )
+        np.testing.assert_array_equal(np.asarray(ref_i), np.asarray(got_i))
+        np.testing.assert_allclose(np.asarray(ref_d), np.asarray(got_d), atol=1e-5)
+        ref_f = np.asarray(ops.farthest_point_sample(x, 64))
+        got_f = np.asarray(
+            sharded_fps(x, 64, mesh, axis_name="points", batch_axis="data")
+        )
+        np.testing.assert_array_equal(ref_f, got_f)
+
     def test_sharded_knn_8_devices(self, rng):
         from patchaugnet_tpu import ops
         from patchaugnet_tpu.parallel.sharded_ops import sharded_knn
