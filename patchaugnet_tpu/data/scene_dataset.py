@@ -103,6 +103,10 @@ class SceneDataset:
         # local kpt/desc cache for the rerank pipeline (:810-841)
         self._l_cache: Dict[int, Tuple[np.ndarray, np.ndarray, Dict]] = {}
         self._l_order: deque = deque()
+        # model types whose on-disk store THIS process wrote (make_descs
+        # with save_model_type): only those stores are safe to reload in
+        # place of the in-memory descriptors
+        self._stores_written: Set[str] = set()
 
     # ------------------------------------------------------------- misc
     def __len__(self) -> int:

@@ -80,7 +80,9 @@ def _auction(
         bitonic sort of every row (~36 ms/iter at n=4096 — the same
         pathology the kNN path hit); the Pallas min-extraction kernel
         peels the 2 maxima in two VMEM sweeps instead."""
-        if jax.default_backend() != "cpu":
+        if jax.default_backend() != "cpu" and value.shape[-1] >= 256:
+            # tiny rows (patch-size EMD, n=20) keep top_k: the sort is
+            # cheap there and sub-lane-width Pallas tiles are untested
             from .knn import _pallas_query_block
             from .pallas.knn import topk_extract_pallas
 
