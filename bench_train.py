@@ -7,7 +7,12 @@ reference configuration: batch of 4 tuples x (1+2+14+1) = 72 clouds of
 4096 points per step (train_place_recognition.py:148-149).
 
 Prints one JSON line {"metric", "value", "unit"}.
+
+Usage: bench_train.py [--tuples N] [--remat]
+  --tuples N   tuple-batch size (default 4, the reference config)
+  --remat      rematerialise the forward in the backward (cfg REMAT)
 """
+import argparse
 import json
 import os
 import sys
@@ -19,6 +24,10 @@ ITERS = 10
 
 
 def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--tuples", type=int, default=4)
+    ap.add_argument("--remat", action="store_true")
+    args = ap.parse_args()
     import numpy as np
     import jax
 
@@ -34,7 +43,7 @@ def main():
 
     cfg = dict(
         FULL_PARAM,
-        TRAIN_BATCH_SIZE=4, TRAIN_POSITIVES_PER_QUERY=2,
+        TRAIN_BATCH_SIZE=args.tuples, TRAIN_POSITIVES_PER_QUERY=2,
         TRAIN_NEGATIVES_PER_QUERY=14,
         BASE_LEARNING_RATE=5e-4, MOMENTUM=0.9, OPTIMIZER="adam",
         MAX_EPOCH=30, LEARNING_RATE_DECAY="step", MARGIN_1=0.5, MARGIN_2=0.2,
@@ -42,6 +51,7 @@ def main():
         TRIPLET_USE_BEST_POSITIVES=False, LOSS_IGNORE_ZERO_BATCH=False,
         A2B_MAX_ROWS=2048, A2B_MAX_PAIRS=16,
         use_hard_negative_patch_mining=True,
+        REMAT=args.remat,
     )
     total = cfg["TRAIN_BATCH_SIZE"] * (1 + 2 + 14 + 1)
     n = cfg["NUM_POINTS"]
@@ -84,7 +94,11 @@ def main():
     print(
         json.dumps(
             {
-                "metric": "patch_aug_net train steps/sec (4 tuples x 18 clouds x 4096 pts)",
+                "metric": (
+                    f"patch_aug_net train steps/sec ({cfg['TRAIN_BATCH_SIZE']} "
+                    f"tuples x 18 clouds x 4096 pts"
+                    + (", remat" if args.remat else "") + ")"
+                ),
                 "value": round(1.0 / dt, 3),
                 "unit": "steps/s",
                 "ms_per_step": round(dt * 1000, 1),

@@ -76,8 +76,27 @@ def make_loss_fn(model, cfg: Dict[str, Any]) -> Callable:
         "A2A_MAX_CLOUDS", batch_size * (1 + num_pos)
     )
 
-    def loss_fn(params, batch_stats, clouds, corr, cloud_mask):
+    # optional full rematerialisation of the forward in the backward
+    # pass (cfg REMAT: true): trades ~1/3 more forward FLOPs for not
+    # keeping the gather-heavy activations live — the TPU-idiomatic way
+    # to fit larger tuple batches in HBM
+    def _apply(params, batch_stats, clouds, patch_rows):
         kwargs = {}
+        if use_patches:
+            kwargs = {"with_patches": True, "patch_rows": patch_rows}
+        return model.apply(
+            {"params": params, "batch_stats": batch_stats},
+            clouds,
+            train=True,
+            mutable=["batch_stats"],
+            **kwargs,
+        )
+
+    if cfg.get("REMAT", False):
+        _apply = jax.checkpoint(_apply)
+
+    def loss_fn(params, batch_stats, clouds, corr, cloud_mask):
+        sel = None
         sel_valid = None
         if use_patches:
             total_clouds = clouds.shape[0]
@@ -86,14 +105,7 @@ def make_loss_fn(model, cfg: Dict[str, Any]) -> Callable:
                 jnp.int32
             )
             sel_valid = jnp.arange(r) < jnp.sum(cloud_mask)
-            kwargs = {"with_patches": True, "patch_rows": sel}
-        out, mutated = model.apply(
-            {"params": params, "batch_stats": batch_stats},
-            clouds,
-            train=True,
-            mutable=["batch_stats"],
-            **kwargs,
-        )
+        out, mutated = _apply(params, batch_stats, clouds, sel)
         desc = _global_desc(out)
         q, p, n, o = _split_tuple(desc, batch_size, num_pos, num_neg)
         metrics = {}

@@ -97,6 +97,27 @@ class TestTrainStep:
         assert float(metrics["patch_recon_a2a"]) > 0
         assert "patch_recon_a2b" in metrics
 
+    def test_remat_step_matches_plain(self, _model_and_state_cached):
+        """REMAT=true recomputes the forward in the backward pass —
+        same losses and parameter updates, less live memory."""
+        model, state0 = _model_and_state_cached
+        ds = make_synthetic_ds()
+        batch = ds.sample_batch([0, 4])
+        center_fn = train.build_center_fn(SMALL_CFG["SAMPLING"][0])
+        corr, mask = train.prepare_patch_inputs(batch, center_fn, SMALL_CFG, epoch=0)
+        clouds = jnp.asarray(batch.clouds)
+        outs = []
+        for cfg in (SMALL_CFG, dict(SMALL_CFG, REMAT=True)):
+            state = jax.tree_util.tree_map(jnp.copy, state0)
+            step = train.build_train_step(model, cfg)
+            state, metrics = step(state, clouds, corr, mask)
+            outs.append(
+                (float(metrics["total"]),
+                 np.asarray(jax.tree_util.tree_leaves(state.params)[0]))
+            )
+        np.testing.assert_allclose(outs[0][0], outs[1][0], rtol=1e-6)
+        np.testing.assert_allclose(outs[0][1], outs[1][1], atol=1e-6)
+
     def test_train_one_epoch_runs(self, model_and_state):
         model, state = model_and_state
         step = train.build_train_step(model, SMALL_CFG)
