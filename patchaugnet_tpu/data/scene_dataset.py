@@ -628,8 +628,12 @@ class SceneDataset:
         self.global_descs = np.concatenate(descs)
         if save_model_type is not None:
             self._stores_written.add(save_model_type)
+            # both stores were rewritten: cached reads of either would
+            # serve the previous checkpoint's descriptors
             self._g_desc_cache.clear()
             self._g_order.clear()
+            self._l_cache.clear()
+            self._l_order.clear()
         if stat_time and times:
             # skip the first (compile) batch like the reference skips
             # warm-up noise in its mean/std report

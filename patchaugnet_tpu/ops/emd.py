@@ -62,6 +62,37 @@ def _pick_row_chunk(b: int, n: int) -> int:
     return 1
 
 
+def _top2_desc(value, use_pallas: bool, interpret: bool = False):
+    """Two largest per row of ``(b, m, n)``, ties to the lowest index
+    (``lax.top_k`` semantics). On TPU the per-iteration ``top_k``
+    lowers to a full bitonic sort of every row (~36 ms/iter at n=4096
+    — the same pathology the kNN path hit); the Pallas min-extraction
+    kernel peels the 2 maxima in two VMEM sweeps instead, switching to
+    the two-level chunked variant when the flat tile would exceed the
+    kernel's VMEM budget (same dispatch as ``knn_pallas``)."""
+    if use_pallas:
+        from .knn import _pallas_query_block
+        from .pallas.knn import (
+            _VMEM_TILE_BUDGET,
+            topk_extract_chunked,
+            topk_extract_pallas,
+        )
+
+        m, n = value.shape[-2], value.shape[-1]
+        qb = _pallas_query_block(m)
+        if qb is not None:
+            if qb * n > _VMEM_TILE_BUDGET:
+                idx, neg = topk_extract_chunked(
+                    -value, 2, qb, interpret=interpret
+                )
+            else:
+                idx, neg = topk_extract_pallas(
+                    -value, 2, qb, interpret=interpret
+                )
+            return -neg, idx
+    return jax.lax.top_k(value, 2)
+
+
 def _auction(
     xyz1: jax.Array,
     xyz2: jax.Array,
@@ -73,24 +104,12 @@ def _auction(
     if row_chunk is None:
         row_chunk = _pick_row_chunk(b, n)
     chunked = row_chunk < n and n % row_chunk == 0
+    # tiny rows (patch-size EMD, n=20) keep top_k: the sort is cheap
+    # there and sub-lane-width Pallas tiles are untested
+    use_pallas = jax.default_backend() != "cpu" and n >= 256
 
     def top2_desc(value):
-        """Two largest per row, ties to the lowest index (``lax.top_k``
-        semantics). On TPU the per-iteration ``top_k`` lowers to a full
-        bitonic sort of every row (~36 ms/iter at n=4096 — the same
-        pathology the kNN path hit); the Pallas min-extraction kernel
-        peels the 2 maxima in two VMEM sweeps instead."""
-        if jax.default_backend() != "cpu" and value.shape[-1] >= 256:
-            # tiny rows (patch-size EMD, n=20) keep top_k: the sort is
-            # cheap there and sub-lane-width Pallas tiles are untested
-            from .knn import _pallas_query_block
-            from .pallas.knn import topk_extract_pallas
-
-            qb = _pallas_query_block(value.shape[-2])
-            if qb is not None:
-                idx, neg = topk_extract_pallas(-value, 2, query_block=qb)
-                return -neg, idx
-        return jax.lax.top_k(value, 2)
+        return _top2_desc(value, use_pallas)
 
     def chunk_dist(x1c):
         # (b, c, n) euclidean distances of a row chunk against all cols;

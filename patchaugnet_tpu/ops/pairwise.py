@@ -46,10 +46,13 @@ def pairwise_sqdist(x: jax.Array, y: jax.Array) -> jax.Array:
             f"x {x.shape} vs y {y.shape}"
         )
     if x.shape[-1] <= _DIRECT_MAX_D:
-        d = None
+        shape = jnp.broadcast_shapes(
+            x.shape[:-2] + (x.shape[-2], 1), y.shape[:-2] + (1, y.shape[-2])
+        )
+        d = jnp.zeros(shape, jnp.promote_types(x.dtype, y.dtype))
         for c in range(x.shape[-1]):
             diff = x[..., :, None, c] - y[..., None, :, c]
-            d = diff * diff if d is None else d + diff * diff
+            d = d + diff * diff
         return jnp.maximum(d, 0.0)
     x2 = jnp.sum(x * x, axis=-1, keepdims=True)            # (..., n, 1)
     y2 = jnp.sum(y * y, axis=-1, keepdims=True)            # (..., m, 1)

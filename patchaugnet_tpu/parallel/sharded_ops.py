@@ -52,7 +52,12 @@ def sharded_knn(
     """
     n = xyz.shape[1]
     n_dev = mesh.shape[axis_name]
-    assert n % n_dev == 0
+    assert n % n_dev == 0, (n, n_dev)
+    if batch_axis is not None:
+        assert xyz.shape[0] % mesh.shape[batch_axis] == 0, (
+            f"batch {xyz.shape[0]} not divisible by mesh axis "
+            f"{batch_axis!r}={mesh.shape[batch_axis]}"
+        )
     shard_n = n // n_dev
 
     def local(xyz_shard, queries):
@@ -115,7 +120,12 @@ def sharded_fps(
     """
     _, n, _ = xyz.shape
     n_dev = mesh.shape[axis_name]
-    assert n % n_dev == 0
+    assert n % n_dev == 0, (n, n_dev)
+    if batch_axis is not None:
+        assert xyz.shape[0] % mesh.shape[batch_axis] == 0, (
+            f"batch {xyz.shape[0]} not divisible by mesh axis "
+            f"{batch_axis!r}={mesh.shape[batch_axis]}"
+        )
     shard_n = n // n_dev
 
     def local(xyz_shard):

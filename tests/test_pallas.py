@@ -69,3 +69,38 @@ class TestChunkedExtraction:
         gi, _ = topk_extract_chunked(d, 20, 32, interpret=True)
         _, ri = jax.lax.top_k(-d, 20)
         np.testing.assert_array_equal(np.asarray(ri), np.asarray(gi))
+
+
+class TestEMDTop2Routing:
+    def test_top2_desc_matches_top_k(self, rng):
+        """The EMD auction's Pallas-routed top-2 sweep (flat and
+        VMEM-budget-chunked dispatch) must match lax.top_k exactly,
+        ties included — interpret-mode stand-in for the real-TPU path
+        the CPU suite can't reach."""
+        from patchaugnet_tpu.ops.emd import _top2_desc
+
+        # flat-tile dispatch, with ties and negative values (prices)
+        v = (rng.rand(2, 64, 512).astype(np.float32) - 0.5) * 10
+        v[:, :, ::7] = v[:, :, 0:1]
+        got_v, got_i = _top2_desc(jnp.asarray(v), True, interpret=True)
+        ref_v, ref_i = jax.lax.top_k(jnp.asarray(v), 2)
+        np.testing.assert_array_equal(np.asarray(ref_i), np.asarray(got_i))
+        np.testing.assert_allclose(
+            np.asarray(ref_v), np.asarray(got_v), atol=1e-6
+        )
+
+    def test_top2_desc_chunked_dispatch(self, rng):
+        """Rows wide enough to blow the flat VMEM tile budget route
+        through the two-level chunked extraction."""
+        from patchaugnet_tpu.ops.pallas.knn import _VMEM_TILE_BUDGET
+        from patchaugnet_tpu.ops.emd import _top2_desc
+
+        n = 8192
+        assert 256 * n > _VMEM_TILE_BUDGET  # must exercise the chunked arm
+        v = (rng.rand(1, 256, n).astype(np.float32) - 0.5) * 4
+        got_v, got_i = _top2_desc(jnp.asarray(v), True, interpret=True)
+        ref_v, ref_i = jax.lax.top_k(jnp.asarray(v), 2)
+        np.testing.assert_array_equal(np.asarray(ref_i), np.asarray(got_i))
+        np.testing.assert_allclose(
+            np.asarray(ref_v), np.asarray(got_v), atol=1e-6
+        )
