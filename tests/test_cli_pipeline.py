@@ -130,3 +130,16 @@ def test_create_train_evaluate_pipeline(tmp_path):
     # top-k dump pickles in the reference names (test mode: per pair)
     dump = [p for p in os.listdir(store) if p.startswith("top_k_index_test_")]
     assert len(dump) == 2  # (0,1) and (1,0)
+
+    # 4. mesh-sharded eval CLI: same weights, descriptor extraction
+    #    sharded over the 8-device virtual mesh (store/dump off — the
+    #    sharded path extracts globals only, evaluate.py)
+    proc = _run(
+        ["evaluate.py", "--model_type", "patch_aug_net", "--config", cfg_path,
+         "--dataset", "minioxford", "--weight", ckpt, "--batch_size", "8",
+         "--platform", "cpu", "--devices", "8", "--exp_dir", exp,
+         "--no_save_top_k", "--no_save_descs"],
+        env,
+    )
+    logs8 = proc.stdout + proc.stderr
+    assert "Average Recall @1" in logs8
