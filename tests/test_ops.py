@@ -47,7 +47,19 @@ class TestPairwise:
 
 
 class TestKNN:
-    @pytest.mark.parametrize("n,m,k", [(100, 30, 5), (257, 63, 17), (1001, 101, 20)])
+    @pytest.mark.parametrize(
+        "n,m,k",
+        [
+            (100, 30, 5),
+            (257, 63, 17),
+            (1001, 101, 20),
+            # the reference KNN_CUDA suite's irregular/asymmetric cases
+            # (libs/KNN_CUDA/tests/test_knn_cuda.py:11-87): non-multiples
+            # and ref >> query
+            (10001, 11, 9),
+            (3000, 50, 33),
+        ],
+    )
     def test_vs_bruteforce(self, rng, n, m, k):
         xyz = rng.randn(2, n, 3).astype(np.float32)
         new_xyz = rng.randn(2, m, 3).astype(np.float32)
