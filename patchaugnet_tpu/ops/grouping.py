@@ -106,10 +106,16 @@ def three_interpolate(
       weight: ``(b, n, 3)`` weights.
     Returns: ``(b, n, c)``.
     """
-    neigh = group(features, idx)                           # (b, n, 3, c)
-    return jnp.einsum(
-        "bnk,bnkc->bnc", weight, neigh, preferred_element_type=jnp.float32
-    )
+    # three per-neighbour row-gathers with the weighted sum fused onto
+    # them, instead of one (b, n, 3, c) grouped gather + einsum: the 4-D
+    # intermediate forced a 1.6 GB physical relayout (device trace
+    # reshape.87) plus a separate contraction pass. Same math, same
+    # lowest-index tie handling, summed in neighbour order.
+    out = None
+    for j in range(idx.shape[-1]):
+        term = gather(features, idx[..., j]) * weight[..., j : j + 1]
+        out = term if out is None else out + term
+    return out
 
 
 def interpolate_features(
