@@ -106,6 +106,17 @@ class TestPPTNet:
 
 
 class TestPatchAugNet:
+    def test_approx_recall_config(self, rng):
+        """KNN_APPROX_RECALL flows through the SA groupers end to end
+        (README fast mode): finite normalised descriptor."""
+        x = jnp.asarray(rng.rand(2, 256, 3), jnp.float32)
+        cfg = dict(PATCH_AUG_PARAM, KNN_APPROX_RECALL=0.95)
+        model = get_model("patch_aug_net", cfg)
+        _, out = _init_and_run(model, x)
+        desc = out.global_desc
+        assert desc.shape == (2, 256)
+        assert bool(jnp.isfinite(desc).all())
+
     def test_forward_no_patches(self, rng):
         x = jnp.asarray(rng.rand(2, 256, 3), jnp.float32)
         model = get_model("patch_aug_net", PATCH_AUG_PARAM)

@@ -73,6 +73,25 @@ class TestKNN:
                 d2[b], np.take_along_axis(dm, ref_idx, 1), atol=1e-3
             )
 
+    def test_approx_recall_path(self, rng):
+        """KNN_APPROX_RECALL routes through lax.approx_max_k (TPU
+        PartialReduce; exact on the CPU backend): same shapes, >=90%
+        neighbour recall vs the exact op."""
+        xyz = rng.randn(2, 300, 3).astype(np.float32)
+        new = rng.randn(2, 50, 3).astype(np.float32)
+        idx, d2 = ops.knn(xyz, new, 10, approx_recall=0.95)
+        idx = np.asarray(idx)
+        assert idx.shape == (2, 50, 10) and np.asarray(d2).shape == (2, 50, 10)
+        ref_i = np.asarray(ops.knn(xyz, new, 10)[0])
+        overlap = np.mean(
+            [
+                len(set(idx[b, q]) & set(ref_i[b, q])) / 10.0
+                for b in range(2)
+                for q in range(50)
+            ]
+        )
+        assert overlap >= 0.9, overlap
+
     def test_pairwise_rejects_mismatched_widths(self, rng):
         x = rng.rand(1, 5, 3).astype(np.float32)
         y = rng.rand(1, 7, 4).astype(np.float32)
