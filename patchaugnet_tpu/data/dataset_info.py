@@ -229,10 +229,21 @@ def load_extra_datasets(path: Optional[str] = None) -> List[str]:
 
     names = []
     dtype_map = {"float64": np.float64, "float32": np.float32}
-    for entry in yaml.safe_load(open(path)) or []:
+    with open(path) as f:
+        entries = yaml.safe_load(f) or []
+    for entry in entries:
         entry = dict(entry)
         if "cloud_dtype" in entry:
-            entry["cloud_dtype"] = dtype_map[str(entry["cloud_dtype"])]
+            dt = str(entry["cloud_dtype"])
+            if dt not in dtype_map:
+                # this runs at package import (env-var hook): a typo
+                # must name the file/entry, not kill the CLI with a
+                # bare KeyError
+                raise ValueError(
+                    f"{path}: dataset {entry.get('name', '?')!r} has "
+                    f"cloud_dtype={dt!r}; supported: {sorted(dtype_map)}"
+                )
+            entry["cloud_dtype"] = dtype_map[dt]
         if "global_offset" in entry:
             entry["global_offset"] = np.asarray(
                 entry["global_offset"], np.float64

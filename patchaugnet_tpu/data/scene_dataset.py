@@ -52,6 +52,39 @@ class QueryPosNegTuple:
     negative_indices: List[int] = field(default_factory=list)
 
 
+class _BoundedCache:
+    """Size-bounded FIFO cache (the reference's deque caches,
+    scene_dataset.py:51-55): one implementation for the cloud /
+    global-desc / local-desc caches instead of three hand-rolled
+    evict loops. ``size_fn`` is read at insert time so a runtime
+    ``cache_size`` change takes effect immediately."""
+
+    def __init__(self, size_fn: Callable[[], int]):
+        self._size_fn = size_fn
+        self._d: Dict = {}
+        self._order: deque = deque()
+
+    def __contains__(self, key) -> bool:
+        return key in self._d
+
+    def __getitem__(self, key):
+        return self._d[key]
+
+    def __len__(self) -> int:
+        return len(self._d)
+
+    def put(self, key, value) -> None:
+        if key not in self._d:
+            self._order.append(key)
+        self._d[key] = value
+        while len(self._order) > self._size_fn():
+            self._d.pop(self._order.popleft(), None)
+
+    def clear(self) -> None:
+        self._d.clear()
+        self._order.clear()
+
+
 class _CompatUnpickler(pickle.Unpickler):
     """Loads reference pickles whose tuples reference
     ``datasets.scene_dataset.QueryPosNegTuple``."""
@@ -95,14 +128,17 @@ class SceneDataset:
         # (idx1, near2[list], far2[list], bad_far2[list])
         self.overlap_store: Dict[Tuple[int, int], List] = {}
         # size-bounded FIFO caches, reference scene_dataset.py:51-55
+        # (desc caches key on (model_type, idx) — two model types on one
+        # dataset must not serve each other's vectors). The *_order
+        # aliases expose the FIFO deques for tests/diagnostics.
         self.cache_size = 1000
-        self._pc_cache: Dict[int, Tuple[Tuple, np.ndarray, Dict]] = {}
-        self._pc_order: deque = deque()
-        self._g_desc_cache: Dict[int, np.ndarray] = {}
-        self._g_order: deque = deque()
+        self._pc_cache = _BoundedCache(lambda: self.cache_size)
+        self._pc_order = self._pc_cache._order
+        self._g_desc_cache = _BoundedCache(lambda: self.cache_size)
+        self._g_order = self._g_desc_cache._order
         # local kpt/desc cache for the rerank pipeline (:810-841)
-        self._l_cache: Dict[int, Tuple[np.ndarray, np.ndarray, Dict]] = {}
-        self._l_order: deque = deque()
+        self._l_cache = _BoundedCache(lambda: self.cache_size)
+        self._l_order = self._l_cache._order
         # model types whose on-disk store THIS process wrote (make_descs
         # with save_model_type): only those stores are safe to reload in
         # place of the in-memory descriptors
@@ -142,12 +178,9 @@ class SceneDataset:
         self.global_descs = None
         self.hard_negative_indices = {}
         self._clouds = None
-        self._pc_cache, self._pc_order = {}, deque()
-        self._g_desc_cache, self._g_order = {}, deque()
-        self._l_cache, self._l_order = {}, deque()
-        # model types whose on-disk store THIS process wrote (make_descs
-        # with save_model_type): only those stores are safe to reload in
-        # place of the in-memory descriptors
+        self._pc_cache.clear()
+        self._g_desc_cache.clear()
+        self._l_cache.clear()
         self._stores_written = set()
 
     # ----------------------------------------------------------- create
@@ -395,11 +428,7 @@ class SceneDataset:
                 if normalize:
                     pc, meta = normalize_point_cloud(pc, True)
                 ready[i] = (np.asarray(pc, np.float32), meta)
-                if i not in self._pc_cache:
-                    self._pc_order.append(i)
-                self._pc_cache[i] = (key,) + ready[i]
-                while len(self._pc_order) > self.cache_size:
-                    self._pc_cache.pop(self._pc_order.popleft(), None)
+                self._pc_cache.put(i, (key,) + ready[i])
         pcs = [ready[i][0] for i in indices]
         metas = [ready[i][1] for i in indices]
         return np.asarray(pcs, np.float32), metas
@@ -486,7 +515,8 @@ class SceneDataset:
     def get_g_desc(self, model_type: str, idx: int) -> np.ndarray:
         """Load one stored (1, C) global descriptor (cached,
         reference get_g_desc, scene_dataset.py:788-804)."""
-        if idx not in self._g_desc_cache:
+        ck = (model_type, idx)
+        if ck not in self._g_desc_cache:
             path = os.path.join(self.g_desc_dir(model_type), f"{idx}.pickle")
             if not os.path.exists(path):
                 raise FileNotFoundError(
@@ -495,11 +525,8 @@ class SceneDataset:
                     f"with save_model_type={model_type!r}"
                 )
             with open(path, "rb") as f:
-                self._g_desc_cache[idx] = pickle.load(f)
-            self._g_order.append(idx)
-            while len(self._g_order) > self.cache_size:
-                del self._g_desc_cache[self._g_order.popleft()]
-        return self._g_desc_cache[idx]
+                self._g_desc_cache.put(ck, pickle.load(f))
+        return self._g_desc_cache[ck]
 
     def get_g_descs(self, model_type: str, idxs: Sequence[int]) -> List[np.ndarray]:
         return [self.get_g_desc(model_type, i) for i in idxs]
@@ -513,17 +540,16 @@ class SceneDataset:
         unify_coord de-normalises the keypoints into the scene frame:
         ``kpt * scale + (trans - global_offset)``.
         """
-        if idx not in self._l_cache:
+        ck = (model_type, idx)
+        if ck not in self._l_cache:
             path = os.path.join(self.l_desc_dir(model_type), f"{idx}.pickle")
             with open(path, "rb") as f:
                 l_kpt, l_desc, norm_meta = pickle.load(f)
             k = np.asarray(l_kpt, np.float64).reshape(len(l_kpt), -1)
-            self._l_cache[idx] = (k, np.asarray(l_desc).reshape(len(l_desc), -1),
-                                  norm_meta)
-            self._l_order.append(idx)
-            while len(self._l_order) > self.cache_size:
-                del self._l_cache[self._l_order.popleft()]
-        kpt, desc, meta = self._l_cache[idx]
+            self._l_cache.put(
+                ck, (k, np.asarray(l_desc).reshape(len(l_desc), -1), norm_meta)
+            )
+        kpt, desc, meta = self._l_cache[ck]
         if unify_coord:
             trans = np.asarray(meta["trans"]).reshape(1, -1)
             trans = trans - np.asarray(self.data_cfg.get("global_offset", 0.0)).reshape(1, -1)[:, : trans.shape[1]]
@@ -631,9 +657,7 @@ class SceneDataset:
             # both stores were rewritten: cached reads of either would
             # serve the previous checkpoint's descriptors
             self._g_desc_cache.clear()
-            self._g_order.clear()
             self._l_cache.clear()
-            self._l_order.clear()
         if stat_time and times:
             # skip the first (compile) batch like the reference skips
             # warm-up noise in its mean/std report

@@ -419,6 +419,13 @@ def grid_size_for_step(
     g = math.ceil(2 * extent / quantization_step)
     g = ((g + factor - 1) // factor) * factor
     cap = (max_grid_size // factor) * factor
+    if cap <= 0:
+        raise ValueError(
+            f"max_grid_size={max_grid_size} is smaller than the FPN "
+            f"downsampling factor 2^{num_levels}={factor}: every level "
+            "must keep at least one voxel — reduce the level count or "
+            "raise the grid bound"
+        )
     return min(g, cap)
 
 

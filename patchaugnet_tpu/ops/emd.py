@@ -46,6 +46,8 @@ from typing import Optional, Tuple
 import jax
 import jax.numpy as jnp
 
+from .pairwise import pairwise_sqdist
+
 _NEG = -1e9
 _VALUE_BUDGET = 32 * 1024 * 1024      # floats live in the value sweep
 
@@ -103,25 +105,30 @@ def _auction(
     b, n, _ = xyz1.shape
     if row_chunk is None:
         row_chunk = _pick_row_chunk(b, n)
-    chunked = row_chunk < n and n % row_chunk == 0
-    # tiny rows (patch-size EMD, n=20) keep top_k: the sort is cheap
-    # there and sub-lane-width Pallas tiles are untested
-    use_pallas = jax.default_backend() != "cpu" and n >= 256
+    elif row_chunk < n and n % row_chunk:
+        # an explicit chunk that does not divide n would silently fall
+        # back to the dense (b, n, n) matrix — the OOM the caller asked
+        # to avoid; fail loudly instead
+        raise ValueError(f"row_chunk {row_chunk} does not divide n={n}")
+    chunked = row_chunk < n
+    # tiny rows (patch-size EMD, n=20) and sub-8-sublane chunk tiles
+    # keep top_k: the sort is cheap there and sub-lane-width Pallas
+    # tiles are untested (CLAUDE.md Mosaic pitfalls)
+    rows_per_sweep = row_chunk if chunked else n
+    use_pallas = (
+        jax.default_backend() != "cpu" and n >= 256 and rows_per_sweep >= 8
+    )
 
     def top2_desc(value):
         return _top2_desc(value, use_pallas)
 
     def chunk_dist(x1c):
-        # (b, c, n) euclidean distances of a row chunk against all cols;
-        # direct per-coordinate differences (one fused pass, the CUDA
-        # kernel's own arithmetic — see ops/pairwise.py) instead of the
-        # K=3 matmul expansion: matters here because the chunked sweep
-        # recomputes distances every auction iteration
-        d = None
-        for c in range(x1c.shape[-1]):
-            diff = x1c[..., :, None, c] - xyz2[..., None, :, c]
-            d = diff * diff if d is None else d + diff * diff
-        return jnp.sqrt(jnp.maximum(d, 0.0))
+        # euclidean distances of a row chunk against all cols; the
+        # direct per-coordinate formulation lives in pairwise_sqdist
+        # (ops/pairwise.py — one fused pass, the CUDA kernels' own
+        # arithmetic; matters here because the chunked sweep recomputes
+        # distances every auction iteration)
+        return jnp.sqrt(pairwise_sqdist(x1c, xyz2))
 
     if chunked:
         # row-chunked scan: recompute distances per chunk, never hold

@@ -484,6 +484,36 @@ class TestDescriptorStore:
         with pytest.raises(FileNotFoundError, match="store incomplete"):
             ds._ensure_global_descs("m")
 
+    def test_desc_cache_keyed_by_model_type(self, tmp_path, monkeypatch):
+        """Two model types' stores on one dataset must not serve each
+        other's cached vectors."""
+        monkeypatch.setenv(data.DATA_ROOT_ENV, str(tmp_path))
+        ds = data.SceneDataset("synthetic", for_training=False)
+        ds.create_synthetic(n_trips=2, n_per_trip=6, num_points=32)
+        os.makedirs(ds.data_dir(), exist_ok=True)
+        ds.make_descs(lambda c: c.mean(axis=1), batch_size=len(ds.records),
+                      save_model_type="model_a")
+        ds.make_descs(lambda c: c.max(axis=1), batch_size=len(ds.records),
+                      save_model_type="model_b")
+        ga = ds.get_g_desc("model_a", 0)
+        gb = ds.get_g_desc("model_b", 0)
+        assert not np.allclose(ga, gb)
+        # and again with a's now-cached entry present
+        np.testing.assert_array_equal(ds.get_g_desc("model_a", 0), ga)
+
+    def test_extra_datasets_bad_dtype_names_entry(self, tmp_path):
+        """A cloud_dtype typo in a PCR_EXTRA_DATASETS YAML must fail
+        with the file and entry named (this runs at package import)."""
+        from patchaugnet_tpu.data.dataset_info import load_extra_datasets
+
+        y = tmp_path / "extra.yaml"
+        y.write_text(
+            "- name: broken\n  rel_dir: broken\n  submap_type: sub\n"
+            "  cloud_dtype: float16\n"
+        )
+        with pytest.raises(ValueError, match="broken.*float16"):
+            load_extra_datasets(str(y))
+
     def test_empty_records_top_k_returns_none(self):
         """Reference returns None for empty scenes
         (scene_dataset.py:871-872) instead of crashing."""

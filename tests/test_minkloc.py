@@ -183,6 +183,9 @@ class TestSparseEquivalence:
         assert grid_size_for_step(0.05, num_levels=4, max_grid_size=64) == 48
         model = build_minkloc({"quantization_step": 0.125, "planes": [8, 8, 8, 8]})
         assert model.grid_size == 16
+        # a cap below the FPN downsampling factor cannot yield a grid
+        with pytest.raises(ValueError, match="downsampling factor"):
+            grid_size_for_step(0.01, num_levels=6, max_grid_size=48)
 
 
 class TestSmoothAPTraining:

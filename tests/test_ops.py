@@ -301,6 +301,14 @@ class TestEMD:
             assert n % chunk == 0
             assert b * chunk * n <= _VALUE_BUDGET or chunk == 1
 
+    def test_explicit_bad_row_chunk_rejected(self, rng):
+        """An explicit row_chunk that does not divide n must fail loudly
+        instead of silently materialising the dense value matrix."""
+        x = rng.rand(1, 96, 3).astype(np.float32)
+        y = rng.rand(1, 96, 3).astype(np.float32)
+        with pytest.raises(ValueError, match="does not divide"):
+            ops.auction_emd(x, y, 0.01, 10, row_chunk=40)
+
 
 class TestLabelStat:
     def test_labelstat_ballrange(self, rng):
