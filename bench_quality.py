@@ -2,13 +2,14 @@
 full reference config (4096-pt clouds, quadruplet + patch losses).
 
 Run on the real chip: ``python bench_quality.py`` (~8 min: one eval
-compile + 12 epochs x 24 steps at ~8-9 s/epoch). Measured round 2:
-random-init recall@1 25.0 -> trained 100.0 after 288 steps — the
-training loop LEARNS on hardware, complementing the CPU-mesh quality
-tests (tests/test_train.py::TestTrainingQuality) and the easy-scene
-CLI pipeline run recorded in BASELINE.md."""
-import sys, time
-sys.path.insert(0, "/root/repo")
+compile + 12 epochs x 24 steps at ~6-9 s/epoch). Measured round 2:
+random-init recall@1 25.0 -> trained 97.9 after 288 steps (100.0 in a
+run without the epoch-10 LR decay) — the training loop LEARNS on
+hardware, complementing the CPU-mesh quality tests
+(tests/test_train.py::TestTrainingQuality) and the easy-scene CLI
+pipeline run recorded in BASELINE.md."""
+import os, sys, time
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 import numpy as np
 import jax
 jax.config.update("jax_default_matmul_precision", "float32")
@@ -52,7 +53,8 @@ model = get_model("patch_aug_net", cfg)
 tuple_size = 1 + cfg["TRAIN_POSITIVES_PER_QUERY"] + cfg["TRAIN_NEGATIVES_PER_QUERY"] + 1
 x = jnp.zeros((cfg["TRAIN_BATCH_SIZE"] * tuple_size, 4096, 3))
 state = train.create_train_state(
-    model, jax.random.PRNGKey(0), x, cfg, init_kwargs={"with_patches": True}
+    model, jax.random.PRNGKey(0), x, cfg, init_kwargs={"with_patches": True},
+    steps_per_epoch=24,  # 48 queries / 2 tuples: step decay fires at epoch 10
 )
 forward = train.build_forward_fn(model, cfg)
 

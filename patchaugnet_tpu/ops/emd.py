@@ -229,6 +229,9 @@ def auction_emd(
       iters: max auction rounds (reference uses 1024).
       row_chunk: value-sweep chunk size; None picks automatically so the
         live value matrix stays under ~128 MB (see module docstring).
+        An explicit chunk smaller than ``n`` must divide ``n``
+        (``ValueError`` otherwise — a non-divisor would silently fall
+        back to the dense matrix).
 
     Returns:
       ``(dist, assignment)``: per-point squared distances ``(b, n)`` and
