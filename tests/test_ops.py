@@ -339,3 +339,96 @@ class TestLabelStat:
         feats = rng.rand(1, 8, 5).astype(np.float32)
         gathered = np.asarray(ops.featuregather(feats, didx[None]))[0]
         np.testing.assert_array_equal(gathered, feats[0][didx])
+
+
+class TestGroupers:
+    """Direct oracle tests for the public grouper/export surface
+    (reference pointops.py:476-661) — previously exercised only through
+    the model forwards."""
+
+    def test_query_and_group_semantics(self, rng):
+        xyz = rng.rand(2, 40, 3).astype(np.float32)
+        feats = rng.rand(2, 40, 5).astype(np.float32)
+        new_xyz = rng.rand(2, 7, 3).astype(np.float32)
+        out = np.asarray(ops.query_and_group(
+            jnp.asarray(xyz), jnp.asarray(new_xyz), jnp.asarray(feats),
+            nsample=6,
+        ))
+        idx = np.asarray(ops.knn(xyz, new_xyz, 6)[0])
+        for b in range(2):
+            for q in range(7):
+                g_xyz = xyz[b][idx[b, q]] - new_xyz[b, q]   # centred coords
+                g_f = feats[b][idx[b, q]]                   # NOT centred
+                np.testing.assert_allclose(out[b, q, :, :3], g_xyz, rtol=1e-5)
+                np.testing.assert_allclose(out[b, q, :, 3:], g_f, rtol=1e-5)
+
+    def test_query_and_group_edge_semantics(self, rng):
+        xyz = rng.rand(2, 40, 3).astype(np.float32)
+        feats = rng.rand(2, 40, 5).astype(np.float32)
+        new_xyz = rng.rand(2, 7, 3).astype(np.float32)
+        center = rng.rand(2, 7, 5).astype(np.float32)
+        res = ops.query_and_group_edge(
+            jnp.asarray(xyz), jnp.asarray(new_xyz), jnp.asarray(feats),
+            jnp.asarray(center), nsample=6,
+        )
+        out = np.asarray(res.new_features)
+        idx = np.asarray(res.sample_idx)
+        np.testing.assert_array_equal(idx, np.asarray(ops.knn(xyz, new_xyz, 6)[0]))
+        for b in range(2):
+            for q in range(7):
+                np.testing.assert_allclose(
+                    out[b, q, :, :3], xyz[b][idx[b, q]] - new_xyz[b, q], rtol=1e-5
+                )
+                # EdgeConv: features centred on the query's own feature
+                np.testing.assert_allclose(
+                    out[b, q, :, 3:], feats[b][idx[b, q]] - center[b, q], rtol=1e-5
+                )
+        # un-centred grouped coordinates pass through
+        np.testing.assert_allclose(
+            np.asarray(res.grouped_xyz)[0, 0], xyz[0][idx[0, 0]], rtol=1e-6
+        )
+
+    def test_group_all(self, rng):
+        xyz = rng.rand(2, 9, 3).astype(np.float32)
+        feats = rng.rand(2, 9, 4).astype(np.float32)
+        out = np.asarray(ops.group_all(jnp.asarray(xyz), jnp.asarray(feats)))
+        assert out.shape == (2, 1, 9, 7)
+        np.testing.assert_allclose(out[:, 0, :, :3], xyz, rtol=1e-6)
+        np.testing.assert_allclose(out[:, 0, :, 3:], feats, rtol=1e-6)
+
+    def test_knn_exclude_self(self, rng):
+        xyz = rng.rand(1, 30, 3).astype(np.float32)
+        idx = np.asarray(ops.knn_exclude_self(jnp.asarray(xyz), None, 4))
+        full = np.asarray(ops.knn(xyz, None, 5)[0])
+        np.testing.assert_array_equal(idx, full[..., 1:])   # ranks 1..k
+        assert not (idx == np.arange(30)[None, :, None]).any()
+
+    def test_self_sqdist_zero_diagonal(self, rng):
+        x = rng.rand(1, 12, 3).astype(np.float32)
+        d = np.asarray(ops.self_sqdist(jnp.asarray(x)))
+        np.testing.assert_array_equal(np.diagonal(d[0]), 0.0)
+        ref = np_pairwise_sqdist(x[0], x[0])
+        np.fill_diagonal(ref, 0.0)
+        np.testing.assert_allclose(d[0], ref, atol=1e-5)
+
+    def test_interpolate_features_matches_manual(self, rng):
+        unknown = rng.rand(1, 20, 3).astype(np.float32)
+        known = rng.rand(1, 8, 3).astype(np.float32)
+        feats = rng.rand(1, 8, 6).astype(np.float32)
+        out = np.asarray(ops.interpolate_features(
+            jnp.asarray(unknown), jnp.asarray(known), jnp.asarray(feats)
+        ))
+        dist, idx = ops.three_nn(unknown, known)
+        dist, idx = np.asarray(dist), np.asarray(idx)
+        recip = 1.0 / (dist + 1e-8)
+        w = recip / recip.sum(-1, keepdims=True)
+        ref = np.einsum("nk,nkc->nc", w[0], feats[0][idx[0]])
+        np.testing.assert_allclose(out[0], ref, rtol=1e-4, atol=1e-6)
+
+    def test_chamfer_l2_split(self, rng):
+        x = rng.rand(1, 15, 3).astype(np.float32)
+        y = rng.rand(1, 11, 3).astype(np.float32)
+        a, b = ops.chamfer_l2_split(jnp.asarray(x), jnp.asarray(y))
+        dm = np_pairwise_sqdist(x[0], y[0])
+        np.testing.assert_allclose(float(a), dm.min(1).mean(), rtol=1e-5)
+        np.testing.assert_allclose(float(b), dm.min(0).mean(), rtol=1e-5)
