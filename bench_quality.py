@@ -48,37 +48,42 @@ def make_ds(for_training):
     return pr
 
 
-train_ds, test_ds = make_ds(True), make_ds(False)
-model = get_model("patch_aug_net", cfg)
-tuple_size = 1 + cfg["TRAIN_POSITIVES_PER_QUERY"] + cfg["TRAIN_NEGATIVES_PER_QUERY"] + 1
-x = jnp.zeros((cfg["TRAIN_BATCH_SIZE"] * tuple_size, 4096, 3))
-state = train.create_train_state(
-    model, jax.random.PRNGKey(0), x, cfg, init_kwargs={"with_patches": True},
-    steps_per_epoch=24,  # 48 queries / 2 tuples: step decay fires at epoch 10
-)
-forward = train.build_forward_fn(model, cfg)
+def main():
+    train_ds, test_ds = make_ds(True), make_ds(False)
+    model = get_model("patch_aug_net", cfg)
+    tuple_size = 1 + cfg["TRAIN_POSITIVES_PER_QUERY"] + cfg["TRAIN_NEGATIVES_PER_QUERY"] + 1
+    x = jnp.zeros((cfg["TRAIN_BATCH_SIZE"] * tuple_size, 4096, 3))
+    state = train.create_train_state(
+        model, jax.random.PRNGKey(0), x, cfg, init_kwargs={"with_patches": True},
+        steps_per_epoch=24,  # 48 queries / 2 tuples: step decay fires at epoch 10
+    )
+    forward = train.build_forward_fn(model, cfg)
 
 
-def recall1(state):
-    out = train.evaluate(state.variables, forward, test_ds, top_k=5, batch_size=12)
-    return out.get("recall_at_1", 0.0)
+    def recall1(state):
+        out = train.evaluate(state.variables, forward, test_ds, top_k=5, batch_size=12)
+        return out.get("recall_at_1", 0.0)
 
 
-t0 = time.perf_counter()
-r_init = recall1(state)
-print(f"init recall@1 {r_init:.1f} ({time.perf_counter()-t0:.0f}s)", flush=True)
-step = train.build_train_step(model, cfg)
-center_fn = train.build_center_fn(cfg["SAMPLING"][0])
-for epoch in range(12):
     t0 = time.perf_counter()
-    s = train.train_one_epoch(
-        state, step, train_ds, cfg, epoch, center_fn=center_fn
-    )
-    state = s.pop("state")
-    print(
-        f"epoch {epoch}: total {s['total']:.3f} pr {s['place_recognition']:.3f} "
-        f"({s['batches']} steps, {time.perf_counter()-t0:.0f}s)",
-        flush=True,
-    )
-r_final = recall1(state)
-print(f"TRAINED recall@1 {r_final:.1f} (init {r_init:.1f})", flush=True)
+    r_init = recall1(state)
+    print(f"init recall@1 {r_init:.1f} ({time.perf_counter()-t0:.0f}s)", flush=True)
+    step = train.build_train_step(model, cfg)
+    center_fn = train.build_center_fn(cfg["SAMPLING"][0])
+    for epoch in range(12):
+        t0 = time.perf_counter()
+        s = train.train_one_epoch(
+            state, step, train_ds, cfg, epoch, center_fn=center_fn
+        )
+        state = s.pop("state")
+        print(
+            f"epoch {epoch}: total {s['total']:.3f} pr {s['place_recognition']:.3f} "
+            f"({s['batches']} steps, {time.perf_counter()-t0:.0f}s)",
+            flush=True,
+        )
+    r_final = recall1(state)
+    print(f"TRAINED recall@1 {r_final:.1f} (init {r_init:.1f})", flush=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -543,6 +543,12 @@ class SceneDataset:
         ck = (model_type, idx)
         if ck not in self._l_cache:
             path = os.path.join(self.l_desc_dir(model_type), f"{idx}.pickle")
+            if not os.path.exists(path):
+                raise FileNotFoundError(
+                    f"local-descriptor store incomplete: {path} is missing "
+                    f"(records={len(self.records)}); re-run make_descs "
+                    f"with save_model_type={model_type!r}"
+                )
             with open(path, "rb") as f:
                 l_kpt, l_desc, norm_meta = pickle.load(f)
             k = np.asarray(l_kpt, np.float64).reshape(len(l_kpt), -1)

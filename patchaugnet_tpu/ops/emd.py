@@ -46,6 +46,7 @@ from typing import Optional, Tuple
 import jax
 import jax.numpy as jnp
 
+from . import pallas
 from .pairwise import pairwise_sqdist
 
 _NEG = -1e9
@@ -116,7 +117,7 @@ def _auction(
     # tiles are untested (CLAUDE.md Mosaic pitfalls)
     rows_per_sweep = row_chunk if chunked else n
     use_pallas = (
-        jax.default_backend() != "cpu" and n >= 256 and rows_per_sweep >= 8
+        pallas.on_tpu() and n >= 256 and rows_per_sweep >= 8
     )
 
     def top2_desc(value):

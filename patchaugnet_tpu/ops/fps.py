@@ -22,6 +22,8 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
+from . import pallas
+
 from . import contracts
 from functools import partial
 
@@ -46,7 +48,7 @@ def farthest_point_sample(
     # semantics — small-cloud probes init full-size models cheaply
     assert m > 0, f"m={m} must be positive" 
     if use_pallas is None:
-        use_pallas = jax.default_backend() not in ("cpu",)
+        use_pallas = pallas.on_tpu()
     if use_pallas and m > 1:
         from .pallas.fps import farthest_point_sample_pallas
 

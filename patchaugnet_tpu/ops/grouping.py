@@ -19,7 +19,7 @@ from typing import NamedTuple, Optional, Tuple
 import jax
 import jax.numpy as jnp
 
-from . import contracts
+from . import contracts, pallas
 from .knn import ball_query, dilated_knn
 from .pairwise import pairwise_sqdist
 
@@ -79,7 +79,7 @@ def three_nn(unknown: jax.Array, known: jax.Array) -> Tuple[jax.Array, jax.Array
 
     d = pairwise_sqdist(unknown, known)
     qb = _pallas_query_block(unknown.shape[-2])
-    if jax.default_backend() not in ("cpu",) and qb is not None:
+    if pallas.on_tpu() and qb is not None:
         from .pallas.knn import topk_extract_pallas
 
         idx, d2 = topk_extract_pallas(d, 3, query_block=qb)
@@ -111,11 +111,17 @@ def three_interpolate(
     # intermediate forced a 1.6 GB physical relayout (device trace
     # reshape.87) plus a separate contraction pass. Same math, same
     # lowest-index tie handling, summed in neighbour order.
+    # Accumulate in f32 regardless of the feature dtype (the einsum this
+    # replaced guaranteed preferred_element_type=float32; bf16 features
+    # would otherwise lose the wide accumulation — ADVICE r2).
     out = None
     for j in range(idx.shape[-1]):
-        term = gather(features, idx[..., j]) * weight[..., j : j + 1]
+        term = (
+            gather(features, idx[..., j]).astype(jnp.float32)
+            * weight[..., j : j + 1].astype(jnp.float32)
+        )
         out = term if out is None else out + term
-    return out
+    return out.astype(features.dtype)
 
 
 def interpolate_features(

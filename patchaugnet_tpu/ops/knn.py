@@ -27,6 +27,7 @@ import jax.numpy as jnp
 
 from . import contracts
 from .pairwise import pairwise_sqdist
+from .pallas import on_tpu as _on_tpu
 
 
 def knn(
@@ -61,7 +62,7 @@ def knn(
         neg, idx = jax.lax.approx_max_k(-d, k, recall_target=approx_recall)
         return idx.astype(jnp.int32), -neg
     qb = _pallas_query_block(new_xyz.shape[-2])
-    if jax.default_backend() not in ("cpu",) and qb is not None:
+    if _on_tpu() and qb is not None:
         from .pallas.knn import knn_pallas
 
         return knn_pallas(xyz, new_xyz, k, query_block=qb)
