@@ -33,10 +33,15 @@ and the global poolings see only stored sites — so the dense branch is
 functionally the sparse network on a bounded grid, not an
 approximation of it.
 
-Remaining dense-grid divergence (documented): the grid resolution is
-derived from ``quantization_step`` but capped (``max_grid_size``,
-default 48 per dim); the reference's 0.01-step cartesian quantization
-would need a 200^3 dense grid. The effective step is ``2*extent/G``.
+Dense-grid scope (round 3): this branch's resolution is bounded by
+``max_grid_size`` (default 48/dim; effective step ``2*extent/G``). The
+reference's native 0.01-step quantization is served by the DEFAULT
+**sparse voxel-table** branch (:mod:`.minkloc_sparse` — gather
+convolution over a fixed-capacity occupied-voxel table, no cap), which
+shares this module's parameter tree bit-for-bit
+(tests/test_minkloc_sparse.py). The dense branch remains as the
+equivalence oracle and as an opt-in (``backend: dense``) for coarse
+grids.
 """
 from __future__ import annotations
 
@@ -101,7 +106,11 @@ class MaskedBatchNorm(nn.Module):
     Minkowski BN analogue (sparse tensors normalise over stored sites).
     Output is zeroed outside the mask to keep the sparse-equivalence
     invariant (a bias-shifted empty site would otherwise leak into the
-    next convolution's sums)."""
+    next convolution's sums).
+
+    Rank-agnostic: ``x`` may be a dense grid ``(B, G, G, G, C)`` or a
+    voxel table ``(B, V, C)`` (minkloc_sparse.py); statistics reduce
+    over every axis but the channel axis, restricted to ``mask``."""
 
     momentum: float = BN_MOMENTUM
     epsilon: float = BN_EPS
@@ -109,6 +118,7 @@ class MaskedBatchNorm(nn.Module):
     @nn.compact
     def __call__(self, x, mask, *, use_running_average: bool):
         c = x.shape[-1]
+        red = tuple(range(x.ndim - 1))
         ra_mean = self.variable(
             "batch_stats", "mean", lambda: jnp.zeros((c,), jnp.float32)
         )
@@ -122,8 +132,8 @@ class MaskedBatchNorm(nn.Module):
             mean, var = ra_mean.value, ra_var.value
         else:
             cnt = jnp.maximum(jnp.sum(m), 1.0)
-            mean = jnp.sum(x * m, axis=(0, 1, 2, 3)) / cnt
-            var = jnp.sum((x - mean) ** 2 * m, axis=(0, 1, 2, 3)) / cnt
+            mean = jnp.sum(x * m, axis=red) / cnt
+            var = jnp.sum((x - mean) ** 2 * m, axis=red) / cnt
             if not self.is_initializing():
                 ra_mean.value = (
                     self.momentum * ra_mean.value + (1 - self.momentum) * mean
@@ -147,15 +157,16 @@ class ECALayer(nn.Module):
     def __call__(self, x: jax.Array, mask: jax.Array) -> jax.Array:
         t = int(abs((math.log2(self.channels) + self.b) / self.gamma))
         k = t if t % 2 else t + 1
+        red = tuple(range(1, x.ndim - 1))
         m = mask[..., None].astype(x.dtype)
-        y = jnp.sum(x * m, axis=(1, 2, 3)) / jnp.maximum(
-            jnp.sum(m, axis=(1, 2, 3)), 1.0
+        y = jnp.sum(x * m, axis=red) / jnp.maximum(
+            jnp.sum(m, axis=red), 1.0
         )                                                       # (B, C)
         y = nn.Conv(1, (k,), padding="SAME", use_bias=False, name="conv")(
             y[..., None]
         )[..., 0]
         gate = jax.nn.sigmoid(y)
-        return x * gate[:, None, None, None, :]
+        return x * gate.reshape(gate.shape[0], *([1] * (x.ndim - 2)), -1)
 
 
 class _Conv3dBN(nn.Module):
@@ -429,10 +440,43 @@ def grid_size_for_step(
     return min(g, cap)
 
 
-def build_minkloc(param: Dict[str, Any]) -> MinkLocDense:
-    """Build from a flat config dict (YAML keys or ModelParams fields)."""
+def build_minkloc(param: Dict[str, Any]):
+    """Build from a flat config dict (YAML keys or ModelParams fields).
+
+    Backend selection: the default is the **sparse voxel-table** branch
+    (:class:`~.minkloc_sparse.MinkLocSparse`), which runs at the exact
+    configured ``quantization_step`` — including the reference's 0.01
+    cartesian step — with no grid cap. The dense-grid branch is chosen
+    when an explicit ``grid_size`` is given or ``backend: dense`` is set
+    (its resolution is bounded by ``max_grid_size``; both branches share
+    one parameter tree, tests/test_minkloc_sparse.py).
+    """
     layers = tuple(param.get("layers", (1, 1, 1, 1)))
+    backend = param.get("backend")
     grid_size = param.get("grid_size")
+    if backend is None:
+        backend = "dense" if grid_size is not None else "sparse"
+    if backend == "sparse":
+        from .minkloc_sparse import MinkLocSparse
+
+        step = param.get("quantization_step", 0.01)
+        if isinstance(step, (list, tuple)):
+            step = tuple(float(s) for s in step)
+        return MinkLocSparse(
+            feature_size=param.get("feature_size", 256),
+            output_dim=param.get("output_dim", 256),
+            planes=tuple(param.get("planes", (64, 128, 64, 32))),
+            layers=layers,
+            num_top_down=param.get("num_top_down", 2),
+            conv0_kernel_size=param.get("conv0_kernel_size", 5),
+            block=param.get("block", "ECABasicBlock"),
+            pooling=param.get("pooling", "GeM"),
+            coordinates=param.get("coordinates", "cartesian"),
+            quantization_step=step,
+            extent=param.get("extent", 1.0),
+            polar_max_dist=param.get("polar_max_dist", 1.5),
+            normalize_embeddings=param.get("normalize_embeddings", False),
+        )
     if grid_size is None:
         grid_size = grid_size_for_step(
             param.get("quantization_step", 0.01),

@@ -181,7 +181,9 @@ class TestSparseEquivalence:
         # coarse steps are honoured exactly (rounded to the FPN factor)
         assert grid_size_for_step(0.125, num_levels=4) == 16
         assert grid_size_for_step(0.05, num_levels=4, max_grid_size=64) == 48
-        model = build_minkloc({"quantization_step": 0.125, "planes": [8, 8, 8, 8]})
+        model = build_minkloc(
+            {"quantization_step": 0.125, "planes": [8, 8, 8, 8], "backend": "dense"}
+        )
         assert model.grid_size == 16
         # a cap below the FPN downsampling factor cannot yield a grid
         with pytest.raises(ValueError, match="downsampling factor"):
