@@ -35,6 +35,7 @@ from typing import Callable, Dict, List, Optional, Sequence, Set, Tuple
 import numpy as np
 import pandas as pd
 
+from . import fpfh as fpfh_mod
 from . import retrieval
 from .dataset_info import dataset_info_dict
 from .pointclouds import load_pc_file, normalize_point_cloud
@@ -139,6 +140,8 @@ class SceneDataset:
         # local kpt/desc cache for the rerank pipeline (:810-841)
         self._l_cache = _BoundedCache(lambda: self.cache_size)
         self._l_order = self._l_cache._order
+        # FPFH cache (reference fpfh_dict, scene_dataset.py:52-55)
+        self._fpfh_cache = _BoundedCache(lambda: self.cache_size)
         # model types whose on-disk store THIS process wrote (make_descs
         # with save_model_type): only those stores are safe to reload in
         # place of the in-memory descriptors
@@ -181,6 +184,7 @@ class SceneDataset:
         self._pc_cache.clear()
         self._g_desc_cache.clear()
         self._l_cache.clear()
+        self._fpfh_cache.clear()
         self._stores_written = set()
 
     # ----------------------------------------------------------- create
@@ -433,6 +437,33 @@ class SceneDataset:
         metas = [ready[i][1] for i in indices]
         return np.asarray(pcs, np.float32), metas
 
+    def get_fpfh(
+        self,
+        idx: int,
+        radius_normal: float = 0.05,
+        radius_feature: float = 0.05,
+    ) -> np.ndarray:
+        """``(N, 33)`` FPFH features of one record's raw cloud, FIFO
+        cached (reference get_fpfh, scene_dataset.py:756-780 — open3d
+        there, :mod:`.fpfh` here; same radii defaults, raw un-normalised
+        cloud input like the reference's ``get_pc(idx)``)."""
+        ck = (idx, radius_normal, radius_feature)
+        if ck not in self._fpfh_cache:
+            pc, _ = self.get_clouds([idx], normalize=False)
+            self._fpfh_cache.put(
+                ck, fpfh_mod.compute_fpfh(pc[0], radius_normal, radius_feature)
+            )
+        return self._fpfh_cache[ck]
+
+    def get_fpfhs(
+        self,
+        idxs: Sequence[int],
+        radius_normal: float = 0.05,
+        radius_feature: float = 0.05,
+    ) -> List[np.ndarray]:
+        """Reference get_fpfhs (scene_dataset.py:782-786)."""
+        return [self.get_fpfh(i, radius_normal, radius_feature) for i in idxs]
+
     def get_training_tuple(
         self,
         q_idx: int,
@@ -482,10 +513,14 @@ class SceneDataset:
         self, num_hard_neg: int = 10, num_sample_neg: int = 3000
     ) -> None:
         """Refresh the hard-negative cache from current global_descs
-        (scene_dataset.py:473-492 inlined per __getitem__; here one
-        batched pass)."""
+        (scene_dataset.py:473-492 inlined per __getitem__; here a few
+        fixed-shape device sweeps via ``retrieval.hard_negatives_batch``
+        — one compile and ~Q/1024 device calls per refresh regardless of
+        record count or per-query candidate counts)."""
         if self.global_descs is None:
             return
+        q_indices: List[int] = []
+        neg_lists: List[List[int]] = []
         for q_idx in range(len(self.records)):
             t = self.get_tuple(q_idx, -1, self.data_cfg["skip_trip_itself"])
             negs = t.negative_indices
@@ -493,9 +528,18 @@ class SceneDataset:
                 continue
             if len(negs) > num_sample_neg:
                 negs = list(np.random.choice(negs, num_sample_neg, replace=False))
-            self.hard_negative_indices[q_idx] = retrieval.hard_negatives(
-                self.global_descs[q_idx], self.global_descs, negs, num_hard_neg
-            )
+            q_indices.append(q_idx)
+            neg_lists.append(list(negs))
+        if not q_indices:
+            return
+        mined = retrieval.hard_negatives_batch(
+            self.global_descs[np.asarray(q_indices)],
+            self.global_descs,
+            neg_lists,
+            num_hard_neg,
+        )
+        for q_idx, hard in zip(q_indices, mined):
+            self.hard_negative_indices[q_idx] = hard
 
     # ------------------------------------------------------ descriptors
     def desc_dir(self, model_type: str) -> str:

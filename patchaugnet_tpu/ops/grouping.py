@@ -41,6 +41,35 @@ def gather(features: jax.Array, idx: jax.Array) -> jax.Array:
     contracts.check_indices(idx, "idx", rank=2)
     contracts.check_same_batch(features, idx, "features", "idx")
     b, n, c = features.shape
+    # XLA's TPU gather emitter flips to a serialized strategy once the
+    # flat source table outgrows ~32-64 MB or the index count grows past
+    # ~1-2M (profiles/README.md: fp0 13.5x, sa0 7.5x slower at the
+    # reference's batch-100 eval protocol). Unrolled batch chunks keep
+    # every sub-gather on the fast path — bit-exact, and a no-op for
+    # every batch-32 shape (measured on-chip round 3: fp0 B=100
+    # 8.6 -> 4.6 ms, sa0 12.0 -> 8.9 ms; the round-2 lax.map attempt
+    # lost to serialization, unrolled chunks do not).
+    table_bytes = b * n * c * features.dtype.itemsize
+    n_idx = b * idx.shape[1]
+    nc = 1
+    if table_bytes > 48 * 1024 * 1024:
+        nc = -(-table_bytes // (16 * 1024 * 1024))
+    if n_idx > 1_500_000:
+        nc = max(nc, -(-n_idx // 512_000))
+    nc = min(nc, b)
+    if nc > 1:
+        bounds = [round(j * b / nc) for j in range(nc + 1)]
+        outs = [
+            _gather_flat(features[s:e], idx[s:e])
+            for s, e in zip(bounds, bounds[1:])
+            if e > s
+        ]
+        return jnp.concatenate(outs, axis=0)
+    return _gather_flat(features, idx)
+
+
+def _gather_flat(features: jax.Array, idx: jax.Array) -> jax.Array:
+    b, n, c = features.shape
     base = (jnp.arange(b, dtype=idx.dtype) * n)[:, None]
     flat = (idx + base).reshape(-1)
     return jnp.take(features.reshape(b * n, c), flat, axis=0).reshape(

@@ -179,6 +179,62 @@ class TestSyntheticScene:
             t = ds.get_tuple(q, -1, False)
             assert set(negs) <= set(t.negative_indices)
 
+    def test_hard_negatives_batch_matches_per_query(self):
+        """The fixed-shape sweep must reproduce the per-query path
+        exactly (distinct random distances -> no tie ambiguity),
+        including the []-below-threshold rule."""
+        from patchaugnet_tpu.data import retrieval
+
+        r = np.random.RandomState(3)
+        n_rec, d, k = 120, 16, 5
+        descs = r.randn(n_rec, d).astype(np.float32)
+        neg_lists = []
+        for q in range(n_rec):
+            n_negs = r.randint(0, 40)
+            neg_lists.append(
+                list(r.choice(n_rec, size=n_negs, replace=False))
+            )
+        batch = retrieval.hard_negatives_batch(
+            descs, descs, neg_lists, num_hard_neg=k, chunk=64
+        )
+        assert len(batch) == n_rec
+        for q in range(n_rec):
+            single = retrieval.hard_negatives(descs[q], descs, neg_lists[q], k)
+            assert batch[q] == single, (q, batch[q], single)
+            if len(neg_lists[q]) < k:
+                assert batch[q] == []
+
+    @pytest.mark.slow
+    def test_hard_negatives_batch_at_scale(self):
+        """Oxford-scale shape check (VERDICT r2 #2): ~20k records mine in
+        a bounded number of fixed-shape device calls without per-record
+        recompiles (each distinct candidate-set size used to trigger
+        one)."""
+        from patchaugnet_tpu.data import retrieval
+
+        r = np.random.RandomState(0)
+        n_rec, d, k = 20_000, 32, 10
+        descs = r.randn(n_rec, d).astype(np.float32)
+        # every query gets a distinct candidate count (the per-query
+        # path would compile ~n_rec programs for these)
+        neg_lists = [
+            list(r.choice(n_rec, size=200 + (q % 700), replace=False))
+            for q in range(n_rec)
+        ]
+        import time
+
+        t0 = time.perf_counter()
+        out = retrieval.hard_negatives_batch(descs, descs, neg_lists, k)
+        dt = time.perf_counter() - t0
+        assert len(out) == n_rec
+        assert all(len(o) == k for o in out)
+        sample = r.choice(n_rec, 20, replace=False)
+        for q in sample:
+            single = retrieval.hard_negatives(descs[q], descs, neg_lists[q], k)
+            assert out[q] == single
+        # bounded: minutes-scale host loop replaced by ~20 device calls
+        assert dt < 600, f"mining took {dt:.0f}s"
+
 
 class TestPickleRoundtrip:
     def test_save_load(self, tmp_path, monkeypatch):
