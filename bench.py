@@ -113,6 +113,12 @@ def main():
                 "value": round(desc_per_sec, 2),
                 "unit": "descriptors/s",
                 "vs_baseline": round(desc_per_sec / REFERENCE_A100_DESC_PER_SEC, 3),
+                "vs_baseline_note": (
+                    "divisor is a documented ESTIMATE (250 desc/s, "
+                    "PyTorch/CUDA reference on A100 at batch 100); no "
+                    "measured reference number exists — see BASELINE.md. "
+                    "mfu/hbm_util are the measured grounding."
+                ),
                 "mfu": round(mfu, 4),
                 "hbm_util": round(hbm_util, 4),
                 "flops_per_cloud": round(flops_per_batch / BATCH),

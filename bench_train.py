@@ -84,6 +84,15 @@ def main():
     )
     mask = jnp.zeros((total,), bool).at[jnp.asarray(related)].set(True)
 
+    # roofline grounding (VERDICT r2 #9): FLOPs + bytes of the compiled
+    # step vs v5e datasheet peaks, like bench.py does for the forward
+    compiled = step.lower(state, clouds, corr, mask).compile()
+    cost = compiled.cost_analysis()
+    if isinstance(cost, (list, tuple)):
+        cost = cost[0] if cost else {}
+    flops = float((cost or {}).get("flops", float("nan")))
+    nbytes = float((cost or {}).get("bytes accessed", float("nan")))
+
     state, metrics = step(state, clouds, corr, mask)       # compile
     np.asarray(metrics["total"])
     t0 = time.perf_counter()
@@ -103,6 +112,15 @@ def main():
                 "unit": "steps/s",
                 "ms_per_step": round(dt * 1000, 1),
                 "clouds_per_sec": round(total / dt, 1),
+                "mfu": round(flops / dt / 197e12, 4),
+                "hbm_util": round(nbytes / dt / 819e9, 4),
+                "roofline_note": (
+                    "flops/bytes from XLA cost analysis vs v5e peaks "
+                    "(197 TFLOP/s bf16, 819 GB/s). bytes-accessed is "
+                    "LOGICAL traffic: values > 1 mean on-chip reuse "
+                    "(grad accumulation re-reads), i.e. the step runs "
+                    "faster than one pass of its logical bytes."
+                ),
             }
         )
     )

@@ -129,28 +129,33 @@ def main():
     else:
         logger.info("no --weight given: evaluating a randomly initialised model")
 
+    # write the per-record descriptor store (reference run(),
+    # evaluate.py:170 save=True) — synthetic scenes have no data dir
+    save_model_type = (
+        args.model_type
+        if not args.no_save_descs and args.dataset != "synthetic"
+        else None
+    )
     if args.devices > 1:
         # embarrassingly-parallel record sharding (SURVEY §5.8): batch
-        # rows split over the mesh, descriptors gathered replicated
+        # rows split over the mesh, outputs gathered replicated — incl.
+        # the (global, local, center) tuple, so the sharded path writes
+        # the same local-descriptor store bytes as --devices 1
         from patchaugnet_tpu import parallel
 
         mesh = parallel.make_mesh(args.devices)
-        pfwd = parallel.build_parallel_forward(model, mesh)
+        pfwd = None
+        if save_model_type is not None:
+            pfwd = parallel.build_parallel_local_forward(model, mesh)
+        if pfwd is None:
+            pfwd = parallel.build_parallel_forward(model, mesh)
 
         def forward(variables, clouds):
             return pfwd(variables, parallel.shard_batch(mesh, clouds))
 
         assert args.batch_size % args.devices == 0, "batch must split evenly"
         logger.info(f"sharded eval over {args.devices} devices")
-        save_model_type = None       # sharded path extracts globals only
     else:
-        # write the per-record descriptor store (reference run(),
-        # evaluate.py:170 save=True) — synthetic scenes have no data dir
-        save_model_type = (
-            args.model_type
-            if not args.no_save_descs and args.dataset != "synthetic"
-            else None
-        )
         forward = None
         if save_model_type is not None:
             forward = train.build_local_forward_fn(model, cfg)

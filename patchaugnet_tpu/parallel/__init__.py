@@ -6,8 +6,10 @@ from .mesh import (
     shard_batch,
     build_parallel_train_step,
     build_parallel_forward,
+    build_parallel_local_forward,
     pad_to_multiple,
 )
+from .host_data import host_batch_slice, host_record_indices, make_global_batch
 from .sharded_ops import sharded_knn, sharded_fps, sharded_topk_neighbors
 
 __all__ = [
@@ -17,7 +19,11 @@ __all__ = [
     "shard_batch",
     "build_parallel_train_step",
     "build_parallel_forward",
+    "build_parallel_local_forward",
     "pad_to_multiple",
+    "host_batch_slice",
+    "host_record_indices",
+    "make_global_batch",
     "sharded_knn",
     "sharded_fps",
     "sharded_topk_neighbors",

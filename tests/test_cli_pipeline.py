@@ -131,15 +131,38 @@ def test_create_train_evaluate_pipeline(tmp_path):
     dump = [p for p in os.listdir(store) if p.startswith("top_k_index_test_")]
     assert len(dump) == 2  # (0,1) and (1,0)
 
-    # 4. mesh-sharded eval CLI: same weights, descriptor extraction
-    #    sharded over the 8-device virtual mesh (store/dump off — the
-    #    sharded path extracts globals only, evaluate.py)
+    # 4. mesh-sharded eval CLI: same weights, descriptor extraction —
+    #    including the local-descriptor store — sharded over the
+    #    8-device virtual mesh. The store must hold the same values as
+    #    the --devices 1 run above (round-3: the sharded path no longer
+    #    drops the store).
+    def _store_snapshot():
+        snap = {}
+        for sub in ("global", "local"):
+            for fn in os.listdir(store / sub):
+                with open(store / sub / fn, "rb") as f:
+                    snap[f"{sub}/{fn}"] = pickle.load(f)
+        return snap
+
+    single = _store_snapshot()
+    for sub in ("global", "local"):
+        for fn in os.listdir(store / sub):
+            os.unlink(store / sub / fn)
     proc = _run(
         ["evaluate.py", "--model_type", "patch_aug_net", "--config", cfg_path,
          "--dataset", "minioxford", "--weight", ckpt, "--batch_size", "8",
          "--platform", "cpu", "--devices", "8", "--exp_dir", exp,
-         "--no_save_top_k", "--no_save_descs"],
+         "--no_save_top_k"],
         env,
     )
     logs8 = proc.stdout + proc.stderr
     assert "Average Recall @1" in logs8
+    sharded = _store_snapshot()
+    assert set(sharded) == set(single)
+    for key, val in single.items():
+        got = sharded[key]
+        if isinstance(val, tuple):           # local: (kpt, desc, norm_meta)
+            np.testing.assert_allclose(got[0], val[0], atol=1e-5)
+            np.testing.assert_allclose(got[1], val[1], atol=1e-5)
+        else:
+            np.testing.assert_allclose(got, val, atol=1e-5)

@@ -1,5 +1,8 @@
 """Training-layer tests: loss decreases on synthetic data, checkpoints
 round-trip, multi-device pjit step matches single-device."""
+import os
+import sys
+
 import numpy as np
 import pytest
 import jax
@@ -507,3 +510,46 @@ class TestShardedOps:
         )
         np.testing.assert_array_equal(ref_i, np.asarray(got_i))
         np.testing.assert_allclose(ref_d, np.asarray(got_d), atol=1e-4)
+
+
+@pytest.mark.slow
+class TestDeterministicQualityGate:
+    def test_tight_recall_bit_deterministic(self):
+        """VERDICT r2 #8: the loose quality thresholds absorb a 58-85%
+        oneDNN-reassociation band, which could hide a 20-point
+        regression. Under single-threaded deterministic settings
+        (OMP_NUM_THREADS=1, --xla_cpu_multi_thread_eigen=false) the same
+        training run is bit-reproducible (verified: identical param
+        SHA-256 across invocations on this box), so a TIGHT threshold
+        can be pinned: measured 79.17% trained recall@1; a regression
+        of >5 points fails deterministically. If the platform turns out
+        nondeterministic even single-threaded, the gate skips (the
+        loose-threshold tests above still cover quality)."""
+        import subprocess
+
+        env = dict(os.environ)
+        env.pop("PYTHONPATH", None)
+        env["OMP_NUM_THREADS"] = "1"
+        env["XLA_FLAGS"] = "--xla_cpu_multi_thread_eigen=false"
+        env["JAX_PLATFORMS"] = "cpu"
+        repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        lines = []
+        for _ in range(2):
+            proc = subprocess.run(
+                [sys.executable, os.path.join("tests", "deterministic_probe.py")],
+                cwd=repo, env=env, capture_output=True, text=True, timeout=900,
+            )
+            assert proc.returncode == 0, proc.stderr[-3000:]
+            out = [l for l in proc.stdout.splitlines() if l.startswith("DETPROBE")]
+            assert out, proc.stdout[-2000:]
+            lines.append(out[0])
+        r0 = float(lines[0].split("recall=")[1].split()[0])
+        if lines[0] != lines[1]:
+            pytest.skip(
+                f"platform nondeterministic even single-threaded: {lines}"
+            )
+        assert r0 >= 74.0, (
+            f"deterministic trained recall regressed: {r0:.2f} < 74 "
+            f"(pinned from the 79.17 reference measurement)"
+        )
+
