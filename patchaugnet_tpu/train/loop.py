@@ -74,6 +74,7 @@ def train_one_epoch(
     total_iterations: int = 0,
     max_batches: Optional[int] = None,
     save_dir: Optional[str] = None,
+    place_batch: Optional[Callable] = None,
 ) -> Dict[str, Any]:
     batch_size = cfg["TRAIN_BATCH_SIZE"]
     use_hard_neg = True
@@ -89,7 +90,11 @@ def train_one_epoch(
             corr, mask = prepare_patch_inputs(batch, center_fn, cfg, epoch)
         else:
             corr, mask = empty_patch_inputs(cfg, batch.clouds.shape[0])
-        state, metrics = train_step(state, jnp.asarray(batch.clouds), corr, mask)
+        clouds = (
+            place_batch(batch.clouds) if place_batch is not None
+            else jnp.asarray(batch.clouds)
+        )
+        state, metrics = train_step(state, clouds, corr, mask)
         total_iterations += batch_size
         count += 1
         # one stacked transfer instead of a round-trip per metric (the

@@ -185,9 +185,16 @@ def main():
         state, starting_epoch = train.restore_checkpoint(path, state)
         logger.info(f"Resumed from {path} at epoch {starting_epoch}")
 
+    place_batch = None
     if n_dev > 1:
         mesh = parallel.make_mesh(n_dev)
         step = parallel.build_parallel_train_step(model, cfg, mesh)
+        # feed through the per-host assembly path (host_data.py): on one
+        # host this is a sharded device_put; on a pod slice each process
+        # contributes only its shard via make_array_from_process_local_data
+        place_batch = lambda c: parallel.make_global_batch(
+            mesh, np.asarray(c, np.float32)
+        )
         logger.info(f"data-parallel mesh over {n_dev} devices")
     else:
         step = train.build_train_step(model, cfg)
@@ -239,6 +246,7 @@ def main():
             forward_fn=forward, center_fn=center_fn, writer=writer,
             logger=logger, total_iterations=total_iterations,
             max_batches=args.max_batches, save_dir=cfg["save_path"],
+            place_batch=place_batch,
         )
         state = summary.pop("state")
         total_iterations = summary["total_iterations"]
