@@ -1,0 +1,97 @@
+#!/usr/bin/env python
+"""Per-model-family forward throughput (the BASELINE.md per-model table,
+reproducible in one command).
+
+Measures descriptor extraction for all four families at the reference
+serving shape (B=32, 4096-pt clouds, f32 matmul precision) with the
+same enqueue-K-fetch-last timing protocol as bench.py (the axon
+tunnel's ``block_until_ready`` returns at enqueue). Prints one JSON
+line per model.
+
+Usage: python bench_models.py [--models patch_aug_net pptnet ...]
+"""
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+BATCH = 32
+N_POINTS = 4096
+ITERS = 15
+WARMUP = 2
+
+MODEL_CFGS = {
+    "patch_aug_net": "configs/patch_aug_net.yaml",
+    "pptnet": "configs/pptnet_origin.yaml",
+    "pointnet_vlad": "configs/pointnet_vlad.yaml",
+    "minkloc3dv2": "configs/minkloc3dv2.yaml",
+}
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--models", nargs="*", default=list(MODEL_CFGS))
+    args = ap.parse_args()
+
+    import numpy as np
+    import jax
+
+    jax.config.update("jax_default_matmul_precision", "float32")
+    import jax.numpy as jnp
+    import yaml
+
+    from patchaugnet_tpu.models import get_model
+    from patchaugnet_tpu.train.step import _global_desc
+
+    rng = jax.random.PRNGKey(0)
+    for name in args.models:
+        cfg = yaml.safe_load(open(MODEL_CFGS[name]))
+        cfg["model_type"] = name
+        model = get_model(name, cfg)
+        x = jax.random.uniform(rng, (BATCH, N_POINTS, 3), jnp.float32) * 2 - 1
+        variables = jax.jit(model.init)(rng, x)
+
+        fwd = jax.jit(
+            lambda v, c: _global_desc(model.apply(v, c, train=False))
+        )
+        t0 = time.perf_counter()
+        out = np.asarray(fwd(variables, x))
+        compile_s = time.perf_counter() - t0
+        assert np.isfinite(out).all(), name
+        xs = [
+            jax.random.uniform(jax.random.PRNGKey(i + 1), (BATCH, N_POINTS, 3)) * 2 - 1
+            for i in range(ITERS)
+        ]
+        for i in range(WARMUP):
+            np.asarray(fwd(variables, xs[i]))
+        t0 = time.perf_counter()
+        r = None
+        for xi in xs:
+            r = fwd(variables, xi)
+        np.asarray(r)
+        dt = (time.perf_counter() - t0) / ITERS
+        extra = {}
+        if name == "minkloc3dv2":
+            extra["backend"] = type(model).__name__
+            extra["quantization_step"] = cfg.get("quantization_step")
+        print(
+            json.dumps(
+                {
+                    "model": name,
+                    "desc_per_sec": round(BATCH / dt, 1),
+                    "ms_per_batch": round(dt * 1000, 1),
+                    "batch": BATCH,
+                    "n_points": N_POINTS,
+                    "compile_s": round(compile_s, 1),
+                    **extra,
+                }
+            ),
+            flush=True,
+        )
+
+
+if __name__ == "__main__":
+    main()

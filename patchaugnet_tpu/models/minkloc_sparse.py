@@ -370,6 +370,14 @@ def build_pyramid(
     num_top_down: int,
     conv0_kernel_size: int,
 ) -> Pyramid:
+    n_cells = dims[0] * dims[1] * dims[2]
+    if n_cells >= 1 << 24:
+        raise ValueError(
+            f"grid {dims} has {n_cells} cells >= 2^24: voxel keys would "
+            "lose exactness in the f32 z-run key columns (the reference "
+            "0.01 step = 201 cells/dim = 8.1M fits); use a coarser "
+            "quantization step or extend the key encoding"
+        )
     t0 = build_table(coords, valid, dims)
     tables: List[VoxelTable] = [t0]
     all_dims: List[Dims] = [dims]
@@ -403,15 +411,20 @@ def _zext_table(feats: jax.Array, keys: jax.Array, r_lo: int, r_hi: int) -> jax.
     for ``r`` in ``[r_lo, r_hi]`` — built from contiguous shifts (cheap
     sequential copies), so ONE wide row gather retrieves a whole z-run
     window. Rows shifted past the table edge carry key ``-1`` / zero
-    features. Keys ride along as a bitcast f32 column so validity is
-    checked in-register on the gathered rows."""
+    features.
+
+    Keys ride along as an f32 VALUE column (voxel keys < 2^24 are
+    exactly representable) so validity is checked in-register on the
+    gathered rows. NOT a bitcast: small int bit patterns are f32
+    denormals, and the TPU flushes denormals to zero inside the gather
+    fusion — bitcast key columns silently read back as 0 on the real
+    chip (round-3 on-chip debugging; the CPU backend preserves them,
+    which is why the dense-equivalence tests alone never caught it)."""
     b, v, c = feats.shape
-    kb = jax.lax.bitcast_convert_type(keys, jnp.float32)[..., None]
+    kb = keys.astype(jnp.float32)[..., None]
     base = jnp.concatenate([feats, kb], axis=-1)              # (B, V, C+1)
     # padding rows carry key -1 (matches no expected key) + zero features
-    padrow = jnp.zeros((b, 1, c + 1), feats.dtype).at[..., -1].set(
-        jax.lax.bitcast_convert_type(jnp.int32(-1), jnp.float32)
-    )
+    padrow = jnp.zeros((b, 1, c + 1), feats.dtype).at[..., -1].set(-1.0)
     cols = []
     for r in range(r_lo, r_hi + 1):
         if r < 0:
@@ -475,11 +488,9 @@ class SparseConv(nn.Module):
         for o in range(kxy):
             g = gather(ext, zmap.anchor[..., o])              # (B, V', L*(cin+1))
             rows = [g[..., r * (cin + 1):(r + 1) * (cin + 1)] for r in range(l)]
-            gkeys = [
-                jax.lax.bitcast_convert_type(r_[..., -1], jnp.int32) for r_ in rows
-            ]
+            gkeys = [r_[..., -1] for r_ in rows]          # f32 key values
             for z in range(l):
-                e = zmap.exp[..., o, z]
+                e = zmap.exp[..., o, z].astype(jnp.float32)
                 sel = None
                 for r in range(l):
                     m = (gkeys[r] == e)[..., None].astype(feats.dtype)

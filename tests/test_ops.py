@@ -432,3 +432,28 @@ class TestGroupers:
         dm = np_pairwise_sqdist(x[0], y[0])
         np.testing.assert_allclose(float(a), dm.min(1).mean(), rtol=1e-5)
         np.testing.assert_allclose(float(b), dm.min(0).mean(), rtol=1e-5)
+
+
+class TestGatherChunking:
+    def test_chunked_path_bit_exact(self, rng):
+        """gather() splits into batch chunks past the XLA
+        serialized-gather cliff (>~1.5M indices / >~48MB tables); the
+        chunked result must be bit-identical to the flat path."""
+        from patchaugnet_tpu.ops.grouping import gather, _gather_flat
+
+        feats = jnp.asarray(rng.rand(4, 1000, 2).astype(np.float32))
+        idx = jnp.asarray(rng.randint(0, 1000, (4, 500_000)).astype(np.int32))
+        out = gather(feats, idx)          # 2M indices -> chunked
+        ref = _gather_flat(feats, idx)
+        assert out.dtype == ref.dtype and out.shape == ref.shape
+        np.testing.assert_array_equal(np.asarray(out), np.asarray(ref))
+
+    def test_small_shapes_unchunked(self, rng):
+        from patchaugnet_tpu.ops.grouping import gather
+
+        feats = jnp.asarray(rng.rand(2, 64, 3).astype(np.float32))
+        idx = jnp.asarray(rng.randint(0, 64, (2, 128)).astype(np.int32))
+        out = np.asarray(gather(feats, idx))
+        exp = np.asarray(feats)[np.arange(2)[:, None], np.asarray(idx)]
+        np.testing.assert_array_equal(out, exp)
+
