@@ -194,16 +194,18 @@ def conv_neighbor_table(
 
 
 class ZRunMap(NamedTuple):
-    """Anchor + expected-key map for the z-run gather convolution.
+    """Anchor + expected-key map: the intermediate between the
+    rank-merge lookups and the routed source table
+    (:func:`routes_from_zmap`) the convs actually consume.
 
     Row-major voxel keys make the z-neighbours of a site *consecutive
     integers*, so all k z-offsets of one (dx, dy) column live within a
     k-row window of the sorted table around the insertion rank of the
     column's centre key (integer keys: at most (k-1)//2 present keys
-    below/above the centre fit between the expected values). One
-    k-row-wide row gather per xy-offset therefore replaces k row
-    gathers — the gather count drops k-fold, and the rank-merge sorts
-    shrink the same way (only centre keys are searched).
+    below/above the centre fit between the expected values). Only
+    centre keys are rank-searched — the rank-merge sorts shrink
+    k-fold, and the per-tap positions resolve with cheap int compares
+    inside the window.
 
     anchor: (B, V, Kxy) int32 — insertion rank of each column centre,
       clipped to [0, V-1].
@@ -223,10 +225,16 @@ def _xy_offsets(kernel_size: int) -> jax.Array:
     return jnp.stack([ga.ravel(), gb.ravel()], axis=-1).astype(jnp.int32)
 
 
-def zrun_conv_map(table: VoxelTable, dims: Dims, kernel_size: int) -> ZRunMap:
-    """Stride-1 kernel map in z-run form: Kxy = k^2 columns, L = k."""
+def _zrun_conv_queries(
+    table: VoxelTable, dims: Dims, kernel_size: int
+) -> Tuple[jax.Array, jax.Array]:
+    """Column-centre queries + expected-key tensor for a stride-1 map.
+
+    Returns ``(qc (B, V, Kxy) keys with SENTINEL for invalid columns,
+    exp (B, V, Kxy, L))`` — the lookup-independent half of
+    :func:`zrun_conv_map`, split out so :func:`build_pyramid` can merge
+    the rank-sort with the same level's down map."""
     h = (kernel_size - 1) // 2
-    b, v = table.keys.shape
     coords = decompose_keys(table.keys, dims)                 # (B, V, 3)
     offs = _xy_offsets(kernel_size)                           # (Kxy, 2)
     nxy = coords[:, :, None, :2] + offs[None, None]           # (B, V, Kxy, 2)
@@ -235,15 +243,28 @@ def zrun_conv_map(table: VoxelTable, dims: Dims, kernel_size: int) -> ZRunMap:
     z = coords[..., 2]
     qc = (nxy[..., 0] * dims[1] + nxy[..., 1]) * dims[2] + z[:, :, None]
     qc = jnp.where(ok, qc, SENTINEL)
-    kxy = offs.shape[0]
-    rank, _ = lookup_rank(table.keys, qc.reshape(b, v * kxy))
-    anchor = jnp.clip(rank, 0, v - 1).reshape(b, v, kxy)
     dz = jnp.arange(-h, h + 1, dtype=jnp.int32)
     z_ok = (z[:, :, None, None] + dz >= 0) & (z[:, :, None, None] + dz < dims[2])
     exp = jnp.where(
         ok[..., None] & z_ok, qc[..., None] + dz, jnp.int32(-2)
     )
-    return ZRunMap(anchor=anchor, exp=exp)
+    return qc, exp
+
+
+def _zmap_from_rank(rank: jax.Array, exp: jax.Array, v: int) -> ZRunMap:
+    b = exp.shape[0]
+    kxy = exp.shape[-2]
+    return ZRunMap(
+        anchor=jnp.clip(rank, 0, v - 1).reshape(b, -1, kxy), exp=exp
+    )
+
+
+def zrun_conv_map(table: VoxelTable, dims: Dims, kernel_size: int) -> ZRunMap:
+    """Stride-1 kernel map in z-run form: Kxy = k^2 columns, L = k."""
+    b, v = table.keys.shape
+    qc, exp = _zrun_conv_queries(table, dims, kernel_size)
+    rank, _ = lookup_rank(table.keys, qc.reshape(b, -1))
+    return _zmap_from_rank(rank, exp, v)
 
 
 def downsample_table(table: VoxelTable, dims: Dims) -> Tuple[VoxelTable, Dims]:
@@ -253,12 +274,11 @@ def downsample_table(table: VoxelTable, dims: Dims) -> Tuple[VoxelTable, Dims]:
     return build_table(coords // 2, table.mask, cdims), cdims
 
 
-def zrun_down_map(
-    coarse: VoxelTable, cdims: Dims, fine: VoxelTable, fine_dims: Dims
-) -> ZRunMap:
-    """Kernel-2 stride-2 children map in z-run form: Kxy = 4 columns
-    (qa, qb in {0,1}, dense-kernel order), L = 2 (children 2p + {0,1})."""
-    b, v = coarse.keys.shape
+def _zrun_down_queries(
+    coarse: VoxelTable, cdims: Dims, fine_dims: Dims
+) -> Tuple[jax.Array, jax.Array]:
+    """Column-centre queries + expected keys for a kernel-2 stride-2
+    children map (lookup-independent half of :func:`zrun_down_map`)."""
     ccoords = decompose_keys(coarse.keys, cdims)
     r = jnp.arange(2, dtype=jnp.int32)
     ga, gb = jnp.meshgrid(r, r, indexing="ij")
@@ -269,12 +289,21 @@ def zrun_down_map(
     z = ccoords[..., 2] * 2
     qc = (nxy[..., 0] * fine_dims[1] + nxy[..., 1]) * fine_dims[2] + z[:, :, None]
     qc = jnp.where(ok, qc, SENTINEL)
-    rank, _ = lookup_rank(fine.keys, qc.reshape(b, v * 4))
-    anchor = jnp.clip(rank, 0, fine.keys.shape[1] - 1).reshape(b, v, 4)
     dz = jnp.arange(2, dtype=jnp.int32)
     z_ok = z[:, :, None, None] + dz < fine_dims[2]
     exp = jnp.where(ok[..., None] & z_ok, qc[..., None] + dz, jnp.int32(-2))
-    return ZRunMap(anchor=anchor, exp=exp)
+    return qc, exp
+
+
+def zrun_down_map(
+    coarse: VoxelTable, cdims: Dims, fine: VoxelTable, fine_dims: Dims
+) -> ZRunMap:
+    """Kernel-2 stride-2 children map in z-run form: Kxy = 4 columns
+    (qa, qb in {0,1}, dense-kernel order), L = 2 (children 2p + {0,1})."""
+    b = coarse.keys.shape[0]
+    qc, exp = _zrun_down_queries(coarse, cdims, fine_dims)
+    rank, _ = lookup_rank(fine.keys, qc.reshape(b, -1))
+    return _zmap_from_rank(rank, exp, fine.keys.shape[1])
 
 
 def upsample_parent_table(
@@ -350,15 +379,35 @@ def quantize_polar(
 
 
 # ------------------------------------------------------------ pyramid
+class Routes(NamedTuple):
+    """Resolved kernel map consumed by :class:`SparseConv` — the
+    feature-independent half of the convolution, computed once per map
+    by :func:`routes_from_zmap` and shared by every conv on that map.
+
+    src: (B, V, Kxy*L) int32 — per-tap input row (o-major, z-minor,
+      dense ``kernel.reshape(k^3, ...)`` order); sentinel ``V`` when the
+      neighbour is absent. Drives the im2col formulation directly and
+      the conv0 mask fast path (validity = ``src != V``).
+    anchor: (B, V, Kxy) int32 — insertion rank of each xy-column centre
+      clipped to [0, V-1]; the zrun formulation gathers the k-row window
+      at the anchor and re-derives tap routing from
+      ``src == anchor + (r - h0)`` (pure int compares).
+    """
+
+    src: jax.Array
+    anchor: jax.Array
+
+
 class Pyramid(NamedTuple):
-    """All coordinate maps + kernel maps for one forward (pure ints —
-    built once per input, shared by every conv at a level)."""
+    """All coordinate maps + routed kernel maps for one forward (pure
+    ints — built once per input, shared by every conv at a level).
+    ``*_routes`` are :func:`routes_from_zmap` outputs."""
 
     tables: Tuple[VoxelTable, ...]              # level 0..num_levels
     dims: Tuple[Dims, ...]
-    conv0_map: "ZRunMap"                        # level 0, k=conv0
-    block_map: Tuple["ZRunMap", ...]            # level 1.., k=3
-    down_map: Tuple["ZRunMap", ...]             # into level 1..
+    conv0_routes: "Routes"                      # level 0, k=conv0
+    block_routes: Tuple["Routes", ...]          # level 1.., k=3
+    down_routes: Tuple["Routes", ...]           # into level 1..
     up_nbr: Tuple[Tuple[jax.Array, jax.Array], ...]      # top-down steps
 
 
@@ -371,24 +420,57 @@ def build_pyramid(
     conv0_kernel_size: int,
 ) -> Pyramid:
     n_cells = dims[0] * dims[1] * dims[2]
-    if n_cells >= 1 << 24:
+    if n_cells >= _RANK_CLAMP:
         raise ValueError(
-            f"grid {dims} has {n_cells} cells >= 2^24: voxel keys would "
-            "lose exactness in the f32 z-run key columns (the reference "
-            "0.01 step = 201 cells/dim = 8.1M fits); use a coarser "
-            "quantization step or extend the key encoding"
+            f"grid {dims} has {n_cells} cells >= 2^29: voxel keys would "
+            "overflow the packed int32 rank-merge sort keys (the "
+            "reference 0.01 step = 201 cells/dim = 8.1M fits with room "
+            "to spare); use a coarser quantization step or extend the "
+            "key encoding to int64"
         )
     t0 = build_table(coords, valid, dims)
     tables: List[VoxelTable] = [t0]
     all_dims: List[Dims] = [dims]
-    down_map = []
-    block_map = []
     for _ in range(num_levels):
         coarse, cdims = downsample_table(tables[-1], all_dims[-1])
-        down_map.append(zrun_down_map(coarse, cdims, tables[-1], all_dims[-1]))
         tables.append(coarse)
         all_dims.append(cdims)
-        block_map.append(zrun_conv_map(coarse, cdims, 3))
+    # One rank-merge sort per TABLE, not per map: the stride-1 map on a
+    # level and the stride-2 children map FROM that level both search
+    # the same sorted keys, so their queries ride one lax.sort (the
+    # sorts are the map build's hot ops — round-3 device traces).
+    conv0_routes = None
+    down_routes: List[Routes] = []
+    block_routes: List[Routes] = []
+    for i in range(num_levels + 1):
+        t, d = tables[i], all_dims[i]
+        b, v = t.keys.shape
+        parts = []   # (kind, qc, exp, h0)
+        if i == 0:
+            qc0, exp0 = _zrun_conv_queries(t, d, conv0_kernel_size)
+            parts.append(("conv0", qc0, exp0, (conv0_kernel_size - 1) // 2))
+        else:
+            qcb, expb = _zrun_conv_queries(t, d, 3)
+            parts.append(("block", qcb, expb, 1))
+        if i < num_levels:
+            qcd, expd = _zrun_down_queries(tables[i + 1], all_dims[i + 1], d)
+            parts.append(("down", qcd, expd, 0))
+        widths = [p[1].shape[1] * p[1].shape[2] for p in parts]
+        rank, _ = lookup_rank(
+            t.keys,
+            jnp.concatenate([p[1].reshape(b, -1) for p in parts], axis=1),
+        )
+        off = 0
+        for (kind, _, exp, h0), w in zip(parts, widths):
+            zmap = _zmap_from_rank(rank[:, off : off + w], exp, v)
+            routes = routes_from_zmap(t.keys, zmap, h0)
+            off += w
+            if kind == "conv0":
+                conv0_routes = routes
+            elif kind == "block":
+                block_routes.append(routes)
+            else:
+                down_routes.append(routes)
     up_nbr = []
     for s in range(num_top_down):
         lvl = num_levels - 1 - s                 # fine level of this step
@@ -398,64 +480,140 @@ def build_pyramid(
     return Pyramid(
         tables=tuple(tables),
         dims=tuple(all_dims),
-        conv0_map=zrun_conv_map(t0, dims, conv0_kernel_size),
-        block_map=tuple(block_map),
-        down_map=tuple(down_map),
+        conv0_routes=conv0_routes,
+        block_routes=tuple(block_routes),
+        down_routes=tuple(down_routes),
         up_nbr=tuple(up_nbr),
     )
 
 
 # ---------------------------------------------------------- conv core
-def _zext_table(feats: jax.Array, keys: jax.Array, r_lo: int, r_hi: int) -> jax.Array:
-    """Widened gather table: slot ``s`` holds ``[feats[s+r] | key[s+r]]``
-    for ``r`` in ``[r_lo, r_hi]`` — built from contiguous shifts (cheap
-    sequential copies), so ONE wide row gather retrieves a whole z-run
-    window. Rows shifted past the table edge carry key ``-1`` / zero
-    features.
+def routes_from_zmap(keys: jax.Array, zmap: ZRunMap, h0: int) -> "Routes":
+    """Resolve a :class:`ZRunMap` into a :class:`Routes` table.
 
-    Keys ride along as an f32 VALUE column (voxel keys < 2^24 are
-    exactly representable) so validity is checked in-register on the
-    gathered rows. NOT a bitcast: small int bit patterns are f32
-    denormals, and the TPU flushes denormals to zero inside the gather
-    fusion — bitcast key columns silently read back as 0 on the real
-    chip (round-3 on-chip debugging; the CPU backend preserves them,
-    which is why the dense-equivalence tests alone never caught it)."""
-    b, v, c = feats.shape
-    kb = keys.astype(jnp.float32)[..., None]
-    base = jnp.concatenate([feats, kb], axis=-1)              # (B, V, C+1)
-    # padding rows carry key -1 (matches no expected key) + zero features
-    padrow = jnp.zeros((b, 1, c + 1), feats.dtype).at[..., -1].set(-1.0)
+    ``src (B, V, Kxy*L) int32``: for output site ``v`` and kernel
+    tap ``(o, z)`` (o-major, z-minor — dense ``kernel.reshape(k^3, ...)``
+    order), the input-table row holding that neighbour, or sentinel ``V``
+    (one past the last row — callers gather from a feats table padded
+    with one zero row) when the neighbour is absent.
+
+    This is the feature-INDEPENDENT half of the convolution, computed
+    once per kernel map and shared by every conv on that map: the
+    (z-tap, window-row) matching is near-diagonal — the key ``qc + dz``
+    sits at table position ``rank(qc) + s`` where ``s`` counts present
+    keys between ``qc`` and ``qc + dz``, so ``s in [dz, -1]`` for dz<0,
+    ``{0}`` for dz=0, ``[0, dz]`` for dz>0.  The window anchor is
+    ``clip(rank, 0, V-1)``; the clip shifts positions by ``delta in
+    {0, 1}``, and ``delta = 1`` implies ``qc`` itself is absent, which
+    kills the dz=0 / dz>0 extremes.  Net: tap z (dz = z - h0) can only
+    sit at window rows ``[min(h0, h0+dz), max(h0, h0+dz)]`` — 5 of 9
+    (z, r) pairs for k=3, 11 of 25 for k=5, 3 of 4 for the stride-2 map
+    (tests/test_minkloc_sparse.py covers the full-capacity anchor-clip
+    edge against the conv_neighbor_table oracle).  Sorted-unique table
+    keys mean at most one window row matches, so the per-pair
+    ``where``-overwrites commute.
+
+    Routing compares stay entirely in int32 — no keys ride through
+    float tensors (the round-3 denormal-flush hazard documented in
+    CLAUDE.md does not apply here).
+
+    Gather economics (round-3 device traces): XLA row gathers pay a
+    ~5 ns/row floor regardless of width, so the resolve does ONE wide
+    gather of (B, V*Kxy) L-int window rows from a shift-built key-window
+    table — per-(z, r)-pair narrow ``take_along_axis`` probes cost
+    Kxy*L single-int rows apiece and ran ~350 ms/forward at the
+    reference B=32 config (166 ms for the k=5 conv0 map alone).
+    """
+    b, v = keys.shape
+    kxy, l = zmap.exp.shape[-2], zmap.exp.shape[-1]
+    # window-key table: kwin[b, s, r] = keys[b, s + r - h0] (contiguous
+    # shifts, no gather); rows shifted past the table edge carry -1,
+    # which never equals a present expected key (>= 0) nor the invalid
+    # marker (-2) — so out-of-range window positions can never match
     cols = []
-    for r in range(r_lo, r_hi + 1):
-        if r < 0:
+    for r in range(l):
+        d = r - h0
+        if d < 0:
             sh = jnp.concatenate(
-                [jnp.tile(padrow, (1, -r, 1)), base[:, :r]], axis=1
+                [jnp.full((b, -d), -1, jnp.int32), keys[:, :d]], axis=1
             )
-        elif r > 0:
+        elif d > 0:
             sh = jnp.concatenate(
-                [base[:, r:], jnp.tile(padrow, (1, r, 1))], axis=1
+                [keys[:, d:], jnp.full((b, d), -1, jnp.int32)], axis=1
             )
         else:
-            sh = base
+            sh = keys
         cols.append(sh)
-    return jnp.concatenate(cols, axis=-1)         # (B, V, L*(C+1))
+    kwin = jnp.stack(cols, axis=-1)                           # (B, V, L)
+    g = gather(kwin, zmap.anchor.reshape(b, v * kxy)).reshape(b, v, kxy, l)
+    zcols = []
+    for z in range(l):
+        dz = z - h0
+        e = zmap.exp[..., z]                                  # (B, V, Kxy)
+        sz = jnp.full((b, v, kxy), v, jnp.int32)
+        for rp in range(min(h0, h0 + dz), max(h0, h0 + dz) + 1):
+            sz = jnp.where(g[..., rp] == e, zmap.anchor + (rp - h0), sz)
+        zcols.append(sz)
+    src = jnp.stack(zcols, axis=-1).reshape(b, v, kxy * l)
+    return Routes(src=src, anchor=zmap.anchor)
+
+
+def _shift_ext(feats: jax.Array, l: int, h0: int) -> jax.Array:
+    """Shift-extended feature table: slot ``s`` of the result holds
+    ``[feats[s - h0] | ... | feats[s + l - 1 - h0]]`` — built from
+    contiguous shifts (sequential copies, no gather), so ONE row gather
+    at a window anchor retrieves a whole z-run window. Rows shifted
+    past the table edge are zero (absent neighbours contribute 0)."""
+    b, v, c = feats.shape
+    cols = []
+    for r in range(l):
+        d = r - h0
+        if d < 0:
+            sh = jnp.concatenate(
+                [jnp.zeros((b, -d, c), feats.dtype), feats[:, :d]], axis=1
+            )
+        elif d > 0:
+            sh = jnp.concatenate(
+                [feats[:, d:], jnp.zeros((b, d, c), feats.dtype)], axis=1
+            )
+        else:
+            sh = feats
+        cols.append(sh)
+    return jnp.concatenate(cols, axis=-1)                     # (B, V, L*C)
+
+
+def _conv_formulation() -> str:
+    """Which k>1 formulation :class:`SparseConv` uses (overridable via
+    ``PCR_SPARSE_CONV`` for on-chip A/B measurement):
+
+    - ``zrun``: one WIDE row-gather per xy kernel column (window of all
+      k z-taps from the shift-extended table) + int-compare routing
+      masks + one ``(k*Cin) -> Cout`` matmul per column. V*Kxy gathered
+      rows per conv.
+    - ``im2col``: one flat NARROW row-gather over all K = k^3 taps +
+      one ``(K*Cin) -> Cout`` matmul. V*Kxy*L gathered rows per conv —
+      k-fold more rows at the same bytes, and XLA row gathers pay a
+      per-row floor (profiles/README.md), so zrun is the default.
+    """
+    import os
+
+    return os.environ.get("PCR_SPARSE_CONV", "zrun")
 
 
 class SparseConv(nn.Module):
-    """Z-run gather convolution over a voxel table.
+    """Gather convolution over a voxel table with precomputed routing.
 
     Parameter ``kernel`` has the dense ``(k, k, k, Cin, Cout)`` shape and
     init (lecun_normal over fan_in = k^3*Cin, like ``nn.Conv``) so dense
     and sparse branches are parameter-compatible.
 
-    For k > 1 the call takes the input table's features+keys and a
-    :class:`ZRunMap`: one wide row gather per xy-offset pulls the k-row
-    window around the column-centre anchor; each window row's key is
-    compared against the expected neighbour keys to route it to the
-    right z-tap (this absorbs absent centres — any present expected key
-    provably lies inside the window). ``stride`` only selects the
-    down-conv window orientation (children at ``+{0..k-1}`` instead of
-    ``±h``).
+    For k > 1 the call takes a :class:`Routes` table from
+    :func:`routes_from_zmap` (a bare ``src`` array is accepted for
+    oracle tests and forces the im2col formulation). All key matching
+    happened at route-build time; see :func:`_conv_formulation` for the
+    two gather layouts. ``stride`` is carried for parameter bookkeeping
+    only; the routing difference lives in the map (children at
+    ``+{0..k-1}`` instead of ``±h``).
     """
 
     features: int
@@ -463,7 +621,13 @@ class SparseConv(nn.Module):
     stride: int = 1
 
     @nn.compact
-    def __call__(self, feats, keys=None, zmap: Optional[ZRunMap] = None):
+    def __call__(
+        self,
+        feats,
+        routes: Optional[jax.Array] = None,
+        *,
+        feats_are_mask: bool = False,
+    ):
         cin = feats.shape[-1]
         k = self.kernel
         kernel = self.param(
@@ -471,6 +635,25 @@ class SparseConv(nn.Module):
             nn.initializers.lecun_normal(),
             (k,) * 3 + (cin, self.features),
         )
+        anchor = None
+        src = routes
+        if isinstance(routes, Routes):
+            src, anchor = routes.src, routes.anchor
+        if feats_are_mask and k > 1:
+            # conv0 fast path: the input feature of every stored voxel is
+            # exactly 1.0 (the occupancy mask), so the gathered tap value
+            # equals tap validity — the whole im2col collapses to a
+            # (K,) -> Cout matmul on `src != V` with NO feature gather.
+            # At the reference config this removes the largest gather in
+            # the forward (B*V*125 rows for the k=5 conv0).
+            assert cin == 1, "mask fast path requires cin == 1"
+            valid = (src != feats.shape[1]).astype(jnp.float32)
+            return jnp.einsum(
+                "bvk,kd->bvd",
+                valid,
+                kernel.reshape(src.shape[-1], self.features),
+                preferred_element_type=jnp.float32,
+            ).astype(feats.dtype)
         if k == 1:
             # 1x1: the "offset" is the site itself, and invalid slots
             # already hold zero features — plain masked matmul
@@ -480,26 +663,73 @@ class SparseConv(nn.Module):
                 kernel.reshape(cin, self.features),
                 preferred_element_type=jnp.float32,
             ).astype(feats.dtype)
-        kxy, l = zmap.exp.shape[-2], zmap.exp.shape[-1]
-        w = kernel.reshape(kxy, l, cin, self.features)
-        r_lo = 0 if self.stride == 2 else -((k - 1) // 2)
-        ext = _zext_table(feats, keys, r_lo, r_lo + l - 1)
+        if anchor is not None and _conv_formulation() == "zrun":
+            return self._zrun(feats, src, anchor, kernel)
+        return self._im2col(feats, src, kernel)
+
+    def _zrun(self, feats, src, anchor, kernel):
+        """One wide gather per xy column; tap routing re-derived from
+        ``src == anchor + (r - h0)`` (see :func:`routes_from_zmap`: tap z
+        can only sit at window rows ``[min(h0, h0+dz), max(h0, h0+dz)]``,
+        so 5 of 9 (z, r) compares suffice for k=3). A spurious edge
+        match at ``anchor + (r - h0) == V`` routes a zero-padded window
+        row — contribution 0, same as the sentinel (covered by the
+        full-capacity anchor-clip test)."""
+        b, v, cin = feats.shape
+        kxy = anchor.shape[-1]
+        l = src.shape[-1] // kxy
+        h0 = 0 if self.stride == 2 else (self.kernel - 1) // 2
+        w = kernel.reshape(kxy, l * cin, self.features)
+        ext = _shift_ext(feats, l, h0)
+        src3 = src.reshape(b, v, kxy, l)
         out = None
         for o in range(kxy):
-            g = gather(ext, zmap.anchor[..., o])              # (B, V', L*(cin+1))
-            rows = [g[..., r * (cin + 1):(r + 1) * (cin + 1)] for r in range(l)]
-            gkeys = [r_[..., -1] for r_ in rows]          # f32 key values
+            g = gather(ext, anchor[..., o])                   # (B, V, L*C)
+            sels = []
             for z in range(l):
-                e = zmap.exp[..., o, z].astype(jnp.float32)
+                dz = z - h0
                 sel = None
-                for r in range(l):
-                    m = (gkeys[r] == e)[..., None].astype(feats.dtype)
-                    t = rows[r][..., :cin] * m
+                for r in range(min(h0, h0 + dz), max(h0, h0 + dz) + 1):
+                    m = (src3[..., o, z] == anchor[..., o] + (r - h0))
+                    t = g[..., r * cin : (r + 1) * cin] * m[..., None].astype(
+                        feats.dtype
+                    )
                     sel = t if sel is None else sel + t
-                term = jnp.einsum(
-                    "bvc,cd->bvd", sel, w[o, z], preferred_element_type=jnp.float32
+                sels.append(sel)
+            term = jnp.einsum(
+                "bvc,cd->bvd",
+                jnp.concatenate(sels, axis=-1),
+                w[o],
+                preferred_element_type=jnp.float32,
+            )
+            out = term if out is None else out + term
+        return out.astype(feats.dtype)
+
+    def _im2col(self, feats, src, kernel):
+        """One flat row-gather over all K taps (absent neighbours hit an
+        appended zero row) + one ``(K*Cin) -> Cout`` MXU matmul."""
+        b, _, cin = feats.shape
+        v, kk = src.shape[1], src.shape[-1]      # output sites, taps
+        w = kernel.reshape(kk * cin, self.features)
+        fp = jnp.concatenate(
+            [feats, jnp.zeros((b, 1, cin), feats.dtype)], axis=1
+        )
+        # bound the transient im2col block (B, V, K*Cin) to ~512 MB by
+        # slicing output sites; each chunk is gather -> matmul
+        vc = max(1, min(v, (512 * 1024 * 1024) // max(1, b * kk * cin * 4)))
+        outs = []
+        for s in range(0, v, vc):
+            n = min(vc, v - s)
+            g = gather(fp, src[:, s : s + n].reshape(b, n * kk))
+            outs.append(
+                jnp.einsum(
+                    "bvc,cd->bvd",
+                    g.reshape(b, n, kk * cin),
+                    w,
+                    preferred_element_type=jnp.float32,
                 )
-                out = term if out is None else out + term
+            )
+        out = outs[0] if len(outs) == 1 else jnp.concatenate(outs, axis=1)
         return out.astype(feats.dtype)
 
 
@@ -512,9 +742,12 @@ class _SparseConvBN(nn.Module):
     stride: int = 1
 
     @nn.compact
-    def __call__(self, feats, keys, zmap, out_mask, *, train: bool = False):
+    def __call__(
+        self, feats, src, out_mask, *, train: bool = False,
+        feats_are_mask: bool = False,
+    ):
         x = SparseConv(self.features, self.kernel, self.stride, name="conv")(
-            feats, keys, zmap
+            feats, src, feats_are_mask=feats_are_mask
         )
         return MaskedBatchNorm(name="bn")(
             x, out_mask, use_running_average=not train
@@ -529,20 +762,16 @@ class SparseBasicBlock(nn.Module):
     use_eca: bool = False
 
     @nn.compact
-    def __call__(self, x, keys, zmap, mask, *, train: bool = False):
+    def __call__(self, x, src, mask, *, train: bool = False):
         residual = x
-        out = _SparseConvBN(self.planes, name="conv1")(
-            x, keys, zmap, mask, train=train
-        )
+        out = _SparseConvBN(self.planes, name="conv1")(x, src, mask, train=train)
         out = nn.relu(out)
-        out = _SparseConvBN(self.planes, name="conv2")(
-            out, keys, zmap, mask, train=train
-        )
+        out = _SparseConvBN(self.planes, name="conv2")(out, src, mask, train=train)
         if self.use_eca:
             out = ECALayer(self.planes, name="eca")(out, mask)
         if residual.shape[-1] != self.planes:
             residual = _SparseConvBN(self.planes, kernel=1, name="downsample")(
-                x, None, None, mask, train=train
+                x, None, mask, train=train
             )
         return nn.relu(out + residual)
 
@@ -552,25 +781,23 @@ class SparseBottleneck(nn.Module):
     expansion: int = 4
 
     @nn.compact
-    def __call__(self, x, keys, zmap, mask, *, train: bool = False):
+    def __call__(self, x, src, mask, *, train: bool = False):
         residual = x
         out = nn.relu(
             _SparseConvBN(self.planes, kernel=1, name="conv1")(
-                x, None, None, mask, train=train
+                x, None, mask, train=train
             )
         )
         out = nn.relu(
-            _SparseConvBN(self.planes, name="conv2")(
-                out, keys, zmap, mask, train=train
-            )
+            _SparseConvBN(self.planes, name="conv2")(out, src, mask, train=train)
         )
         out = _SparseConvBN(self.planes * self.expansion, kernel=1, name="conv3")(
-            out, None, None, mask, train=train
+            out, None, mask, train=train
         )
         if residual.shape[-1] != self.planes * self.expansion:
             residual = _SparseConvBN(
                 self.planes * self.expansion, kernel=1, name="downsample"
-            )(x, None, None, mask, train=train)
+            )(x, None, mask, train=train)
         return nn.relu(out + residual)
 
 
@@ -593,10 +820,18 @@ class SparseVoxelFPN(nn.Module):
         num_bottom_up = len(self.layers)
         masks = [t.mask for t in pyramid.tables]
 
-        keys = [t.keys for t in pyramid.tables]
+        # feats=None -> occupancy-indicator input (the reference feeds
+        # MinkFPN all-ones features at stored coords); conv0 then takes
+        # the gather-free mask fast path in SparseConv
+        feats_are_mask = feats is None
+        if feats_are_mask:
+            feats = masks[0][..., None].astype(jnp.float32)
         x = _SparseConvBN(
             self.planes[0], kernel=self.conv0_kernel_size, name="conv0"
-        )(feats, keys[0], pyramid.conv0_map, masks[0], train=train)
+        )(
+            feats, pyramid.conv0_routes, masks[0], train=train,
+            feats_are_mask=feats_are_mask,
+        )
         x = nn.relu(x)
         feature_maps = []
         if self.num_top_down == num_bottom_up:
@@ -605,20 +840,18 @@ class SparseVoxelFPN(nn.Module):
         for ndx, (plane, n_layers) in enumerate(zip(self.planes, self.layers)):
             x = nn.relu(
                 _SparseConvBN(x.shape[-1], kernel=2, stride=2, name=f"down{ndx}")(
-                    x, keys[ndx], pyramid.down_map[ndx], masks[ndx + 1], train=train
+                    x, pyramid.down_routes[ndx], masks[ndx + 1], train=train
                 )
             )
             for li in range(n_layers):
                 if bottleneck:
                     x = SparseBottleneck(plane, name=f"block{ndx}_{li}")(
-                        x, keys[ndx + 1], pyramid.block_map[ndx],
-                        masks[ndx + 1], train=train,
+                        x, pyramid.block_routes[ndx], masks[ndx + 1], train=train
                     )
                 else:
                     x = SparseBasicBlock(
                         plane, use_eca=use_eca, name=f"block{ndx}_{li}"
-                    )(x, keys[ndx + 1], pyramid.block_map[ndx],
-                      masks[ndx + 1], train=train)
+                    )(x, pyramid.block_routes[ndx], masks[ndx + 1], train=train)
             if num_bottom_up - 1 - self.num_top_down <= ndx < num_bottom_up - 1:
                 feature_maps.append(x)
 
@@ -705,7 +938,6 @@ class MinkLocSparse(nn.Module):
             num_top_down=self.num_top_down,
             conv0_kernel_size=self.conv0_kernel_size,
         )
-        feats0 = pyramid.tables[0].mask[..., None].astype(points.dtype)
         x, out_mask = SparseVoxelFPN(
             out_channels=self.feature_size,
             planes=self.planes,
@@ -714,7 +946,7 @@ class MinkLocSparse(nn.Module):
             conv0_kernel_size=self.conv0_kernel_size,
             block=self.block,
             name="backbone",
-        )(feats0, pyramid, train=train)
+        )(None, pyramid, train=train)
         out = MaskedPooling(
             self.pooling, self.feature_size, self.output_dim, name="pooling"
         )(x, out_mask, train=train)

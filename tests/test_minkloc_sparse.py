@@ -146,6 +146,125 @@ class TestDenseSparseEquivalence:
         )
 
 
+class TestZRunClipEdge:
+    def test_full_capacity_anchor_clip(self, rng):
+        """At FULL table capacity a column-centre query can rank past the
+        table end (rank = V); the window anchor is clipped, shifting the
+        dz=-1 neighbour to window row h0 instead of h0-1. The restricted
+        (z, r) routing pairs in routes_from_zmap must include that
+        shifted row (derivation in its docstring) — routing checked
+        index-for-index, and the conv output against the exact
+        conv_neighbor_table oracle."""
+        dims = (2, 1, 8)
+        coords = jnp.asarray(
+            [[[0, 0, 2], [0, 0, 3], [0, 0, 4], [0, 0, 5], [0, 0, 7], [1, 0, 6]]],
+            jnp.int32,
+        )
+        valid = jnp.ones((1, 6), bool)
+        table = ms.build_table(coords, valid, dims)
+        assert int(table.mask.sum()) == 6          # genuinely full capacity
+        # the (dx=+1, dy=0) column centre of site key 7 is key 15 > max
+        # key 14 -> rank 6 = V -> anchor clip engages
+        rank, _ = ms.lookup_rank(table.keys, jnp.asarray([[15]], jnp.int32))
+        assert int(rank[0, 0]) == 6
+
+        zmap = ms.zrun_conv_map(table, dims, 3)
+        routes = ms.routes_from_zmap(table.keys, zmap, 1)
+        idx, found = ms.conv_neighbor_table(table, dims, 3)
+        # the route table must agree tap-for-tap with the oracle
+        idx_np, found_np = np.asarray(idx)[0], np.asarray(found)[0]
+        src_np = np.asarray(routes.src)[0]
+        np.testing.assert_array_equal(
+            src_np, np.where(found_np, idx_np, 6)
+        )
+        feats = jnp.asarray(rng.rand(1, 6, 4).astype(np.float32))
+        conv = ms.SparseConv(features=3, kernel=3)
+        v = conv.init(jax.random.PRNGKey(0), feats, routes)
+
+        w = np.asarray(v["params"]["kernel"]).reshape(27, 4, 3)
+        f = np.asarray(feats)[0]
+        ref = np.zeros((6, 3), np.float32)
+        for q in range(27):
+            ref += (f[idx_np[:, q]] * found_np[:, q][:, None]) @ w[q]
+        # both formulations (zrun via Routes, im2col via the bare src
+        # table) must match the exact oracle
+        out = np.asarray(conv.apply(v, feats, routes))[0]
+        np.testing.assert_allclose(out, ref, rtol=1e-5, atol=1e-6)
+        out_i = np.asarray(conv.apply(v, feats, routes.src))[0]
+        np.testing.assert_allclose(out_i, ref, rtol=1e-5, atol=1e-6)
+        # the edge contribution is real: key 14 must feed site key 7
+        q_edge = (2 * 3 + 1) * 3 + 0               # offset (+1, 0, -1)
+        assert found_np[4, q_edge] and idx_np[4, q_edge] == 5
+
+
+class TestFusedPyramidLookups:
+    def test_build_pyramid_matches_standalone_maps(self, rng):
+        """build_pyramid merges each table's stride-1 and stride-2
+        lookups into ONE rank-merge sort; the resulting routes must be
+        identical to the standalone zrun_conv_map/zrun_down_map path."""
+        pts = rng.rand(2, 300, 3).astype(np.float32) * 2 - 1
+        coords, valid, dims = ms.quantize_cartesian(jnp.asarray(pts), 0.05)
+        pyr = ms.build_pyramid(
+            coords, valid, dims, num_levels=2, num_top_down=1,
+            conv0_kernel_size=5,
+        )
+        t0 = ms.build_table(coords, valid, dims)
+        r0 = ms.routes_from_zmap(t0.keys, ms.zrun_conv_map(t0, dims, 5), 2)
+        np.testing.assert_array_equal(
+            np.asarray(pyr.conv0_routes.src), np.asarray(r0.src)
+        )
+        np.testing.assert_array_equal(
+            np.asarray(pyr.conv0_routes.anchor), np.asarray(r0.anchor)
+        )
+        tb, db = t0, dims
+        for i in range(2):
+            tc, dc = ms.downsample_table(tb, db)
+            rd = ms.routes_from_zmap(
+                tb.keys, ms.zrun_down_map(tc, dc, tb, db), 0
+            )
+            np.testing.assert_array_equal(
+                np.asarray(pyr.down_routes[i].src), np.asarray(rd.src)
+            )
+            rb = ms.routes_from_zmap(tc.keys, ms.zrun_conv_map(tc, dc, 3), 1)
+            np.testing.assert_array_equal(
+                np.asarray(pyr.block_routes[i].src), np.asarray(rb.src)
+            )
+            tb, db = tc, dc
+
+
+class TestFormulationEquivalence:
+    def test_zrun_matches_im2col_all_map_kinds(self, rng):
+        """The two SparseConv gather formulations (wide zrun window +
+        int-mask routing vs flat im2col over the routed src table) must
+        agree on every map kind the FPN uses: conv0 (k=5 s=1), block
+        (k=3 s=1), down (k=2 s=2) — random realistic tables, shared
+        parameters."""
+        pts = rng.rand(2, 256, 3).astype(np.float32) * 2 - 1
+        coords, valid, dims = ms.quantize_cartesian(jnp.asarray(pts), 0.05)
+        pyr = ms.build_pyramid(
+            coords, valid, dims, num_levels=1, num_top_down=0,
+            conv0_kernel_size=5,
+        )
+        cases = [
+            (5, 1, pyr.conv0_routes, pyr.tables[0]),
+            (2, 2, pyr.down_routes[0], pyr.tables[0]),
+            (3, 1, pyr.block_routes[0], pyr.tables[1]),
+        ]
+        for k, stride, routes, in_table in cases:
+            vcap = in_table.keys.shape[1]
+            feats = jnp.asarray(
+                rng.rand(2, vcap, 8).astype(np.float32)
+            ) * in_table.mask[..., None]
+            conv = ms.SparseConv(features=6, kernel=k, stride=stride)
+            variables = conv.init(jax.random.PRNGKey(1), feats, routes)
+            out_z = np.asarray(conv.apply(variables, feats, routes))
+            out_i = np.asarray(conv.apply(variables, feats, routes.src))
+            np.testing.assert_allclose(
+                out_z, out_i, rtol=1e-5, atol=1e-6,
+                err_msg=f"k={k} stride={stride}",
+            )
+
+
 class TestMinkLocSparseModel:
     def test_build_routing(self):
         m = build_minkloc(dict(SPARSE_PARAM))
