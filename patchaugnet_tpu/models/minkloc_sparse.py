@@ -136,11 +136,16 @@ def lookup(table_keys: jax.Array, queries: jax.Array) -> Tuple[jax.Array, jax.Ar
 
 
 def lookup_rank(
-    table_keys: jax.Array, queries: jax.Array
-) -> Tuple[jax.Array, jax.Array]:
+    table_keys: jax.Array, queries: jax.Array, with_found: bool = True
+) -> Tuple[jax.Array, Optional[jax.Array]]:
     """:func:`lookup` returning the raw insertion rank in ``[0, V]``
     (count of keys strictly below the query — the anchor the z-run
-    window machinery needs even when the query itself is absent)."""
+    window machinery needs even when the query itself is absent).
+
+    ``with_found=False`` skips the membership bit (returns ``None`` for
+    it): the routed-conv pyramid only needs ranks — presence resolves
+    later from the window-key compares — and dropping ``found`` removes
+    the reverse ``cummin`` scan from the map build's hot path."""
     b, v = table_keys.shape
     q = queries.shape[1]
     kv = jnp.minimum(table_keys, _RANK_CLAMP)       # pad keys sort last
@@ -156,13 +161,18 @@ def lookup_rank(
     svals, spay = jax.lax.sort((skey, payload), num_keys=1, dimension=1)
     tag = svals & 1                                  # 1 = key element
     rank = jnp.cumsum(tag, axis=1) - tag             # keys strictly before
-    keyval = jnp.where(tag == 1, svals >> 1, _RANK_CLAMP)
-    nextkey = jax.lax.cummin(keyval, axis=1, reverse=True)
-    found = (tag == 0) & (nextkey == (svals >> 1))
-    packed = rank | (found.astype(jnp.int32) << 30)
+    if with_found:
+        keyval = jnp.where(tag == 1, svals >> 1, _RANK_CLAMP)
+        nextkey = jax.lax.cummin(keyval, axis=1, reverse=True)
+        found = (tag == 0) & (nextkey == (svals >> 1))
+        packed = rank | (found.astype(jnp.int32) << 30)
+    else:
+        packed = rank
     _, spacked = jax.lax.sort((spay, packed), num_keys=1, dimension=1)
     out = spacked[:, :q]
     pos = (out & ((1 << 30) - 1)).astype(jnp.int32)
+    if not with_found:
+        return pos, None
     return pos, ((out >> 30) & 1).astype(bool) & (queries != SENTINEL)
 
 
@@ -459,6 +469,7 @@ def build_pyramid(
         rank, _ = lookup_rank(
             t.keys,
             jnp.concatenate([p[1].reshape(b, -1) for p in parts], axis=1),
+            with_found=False,
         )
         off = 0
         for (kind, _, exp, h0), w in zip(parts, widths):
