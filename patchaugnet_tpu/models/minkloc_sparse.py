@@ -219,13 +219,20 @@ class ZRunMap(NamedTuple):
 
     anchor: (B, V, Kxy) int32 — insertion rank of each column centre,
       clipped to [0, V-1].
-    exp: (B, V, Kxy, L) int32 — expected neighbour keys per z-offset;
-      -2 where out of bounds / invalid (matches nothing: table keys are
-      nonnegative, window padding rows carry key -1).
+    qc: (B, V, Kxy) int32 — column-centre keys, SENTINEL for invalid /
+      out-of-bounds columns. Expected neighbour keys are computed
+      in-register as ``qc + dz`` (never materialized: the (B, V, Kxy, L)
+      expected-key tensor was the map build's largest select traffic).
+      SENTINEL + dz wraps far outside the valid key range [0, 2^29), so
+      invalid columns can never match a window key.
+    z_ok: (B, V, L) bool — site z + dz within the grid (without it,
+      ``qc + dz`` past a z edge aliases the ADJACENT xy column's key,
+      which may genuinely be present).
     """
 
     anchor: jax.Array
-    exp: jax.Array
+    qc: jax.Array
+    z_ok: jax.Array
 
 
 def _xy_offsets(kernel_size: int) -> jax.Array:
@@ -238,10 +245,10 @@ def _xy_offsets(kernel_size: int) -> jax.Array:
 def _zrun_conv_queries(
     table: VoxelTable, dims: Dims, kernel_size: int
 ) -> Tuple[jax.Array, jax.Array]:
-    """Column-centre queries + expected-key tensor for a stride-1 map.
+    """Column-centre queries + z-validity for a stride-1 map.
 
     Returns ``(qc (B, V, Kxy) keys with SENTINEL for invalid columns,
-    exp (B, V, Kxy, L))`` — the lookup-independent half of
+    z_ok (B, V, L))`` — the lookup-independent half of
     :func:`zrun_conv_map`, split out so :func:`build_pyramid` can merge
     the rank-sort with the same level's down map."""
     h = (kernel_size - 1) // 2
@@ -254,27 +261,26 @@ def _zrun_conv_queries(
     qc = (nxy[..., 0] * dims[1] + nxy[..., 1]) * dims[2] + z[:, :, None]
     qc = jnp.where(ok, qc, SENTINEL)
     dz = jnp.arange(-h, h + 1, dtype=jnp.int32)
-    z_ok = (z[:, :, None, None] + dz >= 0) & (z[:, :, None, None] + dz < dims[2])
-    exp = jnp.where(
-        ok[..., None] & z_ok, qc[..., None] + dz, jnp.int32(-2)
-    )
-    return qc, exp
+    z_ok = (z[:, :, None] + dz >= 0) & (z[:, :, None] + dz < dims[2])
+    return qc, z_ok
 
 
-def _zmap_from_rank(rank: jax.Array, exp: jax.Array, v: int) -> ZRunMap:
-    b = exp.shape[0]
-    kxy = exp.shape[-2]
+def _zmap_from_rank(
+    rank: jax.Array, qc: jax.Array, z_ok: jax.Array, v: int
+) -> ZRunMap:
     return ZRunMap(
-        anchor=jnp.clip(rank, 0, v - 1).reshape(b, -1, kxy), exp=exp
+        anchor=jnp.clip(rank, 0, v - 1).reshape(qc.shape),
+        qc=qc,
+        z_ok=z_ok,
     )
 
 
 def zrun_conv_map(table: VoxelTable, dims: Dims, kernel_size: int) -> ZRunMap:
     """Stride-1 kernel map in z-run form: Kxy = k^2 columns, L = k."""
     b, v = table.keys.shape
-    qc, exp = _zrun_conv_queries(table, dims, kernel_size)
-    rank, _ = lookup_rank(table.keys, qc.reshape(b, -1))
-    return _zmap_from_rank(rank, exp, v)
+    qc, z_ok = _zrun_conv_queries(table, dims, kernel_size)
+    rank, _ = lookup_rank(table.keys, qc.reshape(b, -1), with_found=False)
+    return _zmap_from_rank(rank, qc, z_ok, v)
 
 
 def downsample_table(table: VoxelTable, dims: Dims) -> Tuple[VoxelTable, Dims]:
@@ -287,7 +293,7 @@ def downsample_table(table: VoxelTable, dims: Dims) -> Tuple[VoxelTable, Dims]:
 def _zrun_down_queries(
     coarse: VoxelTable, cdims: Dims, fine_dims: Dims
 ) -> Tuple[jax.Array, jax.Array]:
-    """Column-centre queries + expected keys for a kernel-2 stride-2
+    """Column-centre queries + z-validity for a kernel-2 stride-2
     children map (lookup-independent half of :func:`zrun_down_map`)."""
     ccoords = decompose_keys(coarse.keys, cdims)
     r = jnp.arange(2, dtype=jnp.int32)
@@ -300,9 +306,8 @@ def _zrun_down_queries(
     qc = (nxy[..., 0] * fine_dims[1] + nxy[..., 1]) * fine_dims[2] + z[:, :, None]
     qc = jnp.where(ok, qc, SENTINEL)
     dz = jnp.arange(2, dtype=jnp.int32)
-    z_ok = z[:, :, None, None] + dz < fine_dims[2]
-    exp = jnp.where(ok[..., None] & z_ok, qc[..., None] + dz, jnp.int32(-2))
-    return qc, exp
+    z_ok = z[:, :, None] + dz < fine_dims[2]
+    return qc, z_ok
 
 
 def zrun_down_map(
@@ -311,9 +316,9 @@ def zrun_down_map(
     """Kernel-2 stride-2 children map in z-run form: Kxy = 4 columns
     (qa, qb in {0,1}, dense-kernel order), L = 2 (children 2p + {0,1})."""
     b = coarse.keys.shape[0]
-    qc, exp = _zrun_down_queries(coarse, cdims, fine_dims)
-    rank, _ = lookup_rank(fine.keys, qc.reshape(b, -1))
-    return _zmap_from_rank(rank, exp, fine.keys.shape[1])
+    qc, z_ok = _zrun_down_queries(coarse, cdims, fine_dims)
+    rank, _ = lookup_rank(fine.keys, qc.reshape(b, -1), with_found=False)
+    return _zmap_from_rank(rank, qc, z_ok, fine.keys.shape[1])
 
 
 def upsample_parent_table(
@@ -455,16 +460,16 @@ def build_pyramid(
     for i in range(num_levels + 1):
         t, d = tables[i], all_dims[i]
         b, v = t.keys.shape
-        parts = []   # (kind, qc, exp, h0)
+        parts = []   # (kind, qc, z_ok, h0)
         if i == 0:
-            qc0, exp0 = _zrun_conv_queries(t, d, conv0_kernel_size)
-            parts.append(("conv0", qc0, exp0, (conv0_kernel_size - 1) // 2))
+            qc0, zok0 = _zrun_conv_queries(t, d, conv0_kernel_size)
+            parts.append(("conv0", qc0, zok0, (conv0_kernel_size - 1) // 2))
         else:
-            qcb, expb = _zrun_conv_queries(t, d, 3)
-            parts.append(("block", qcb, expb, 1))
+            qcb, zokb = _zrun_conv_queries(t, d, 3)
+            parts.append(("block", qcb, zokb, 1))
         if i < num_levels:
-            qcd, expd = _zrun_down_queries(tables[i + 1], all_dims[i + 1], d)
-            parts.append(("down", qcd, expd, 0))
+            qcd, zokd = _zrun_down_queries(tables[i + 1], all_dims[i + 1], d)
+            parts.append(("down", qcd, zokd, 0))
         widths = [p[1].shape[1] * p[1].shape[2] for p in parts]
         rank, _ = lookup_rank(
             t.keys,
@@ -472,8 +477,8 @@ def build_pyramid(
             with_found=False,
         )
         off = 0
-        for (kind, _, exp, h0), w in zip(parts, widths):
-            zmap = _zmap_from_rank(rank[:, off : off + w], exp, v)
+        for (kind, qc, z_ok, h0), w in zip(parts, widths):
+            zmap = _zmap_from_rank(rank[:, off : off + w], qc, z_ok, v)
             routes = routes_from_zmap(t.keys, zmap, h0)
             off += w
             if kind == "conv0":
@@ -526,7 +531,9 @@ def routes_from_zmap(keys: jax.Array, zmap: ZRunMap, h0: int) -> "Routes":
 
     Routing compares stay entirely in int32 — no keys ride through
     float tensors (the round-3 denormal-flush hazard documented in
-    CLAUDE.md does not apply here).
+    CLAUDE.md does not apply here). Expected keys are formed in-register
+    as ``qc + dz`` under the ``z_ok`` mask (see :class:`ZRunMap`) —
+    never materialized as a (B, V, Kxy, L) tensor.
 
     Gather economics (round-3 device traces): XLA row gathers pay a
     ~5 ns/row floor regardless of width, so the resolve does ONE wide
@@ -536,11 +543,11 @@ def routes_from_zmap(keys: jax.Array, zmap: ZRunMap, h0: int) -> "Routes":
     reference B=32 config (166 ms for the k=5 conv0 map alone).
     """
     b, v = keys.shape
-    kxy, l = zmap.exp.shape[-2], zmap.exp.shape[-1]
+    kxy, l = zmap.qc.shape[-1], zmap.z_ok.shape[-1]
     # window-key table: kwin[b, s, r] = keys[b, s + r - h0] (contiguous
     # shifts, no gather); rows shifted past the table edge carry -1,
-    # which never equals a present expected key (>= 0) nor the invalid
-    # marker (-2) — so out-of-range window positions can never match
+    # which never equals a present expected key (>= 0) nor a SENTINEL+dz
+    # wraparound — so out-of-range window positions can never match
     cols = []
     for r in range(l):
         d = r - h0
@@ -560,10 +567,13 @@ def routes_from_zmap(keys: jax.Array, zmap: ZRunMap, h0: int) -> "Routes":
     zcols = []
     for z in range(l):
         dz = z - h0
-        e = zmap.exp[..., z]                                  # (B, V, Kxy)
+        e = zmap.qc + dz                                      # (B, V, Kxy)
+        zok = zmap.z_ok[..., z][..., None]                    # (B, V, 1)
         sz = jnp.full((b, v, kxy), v, jnp.int32)
         for rp in range(min(h0, h0 + dz), max(h0, h0 + dz) + 1):
-            sz = jnp.where(g[..., rp] == e, zmap.anchor + (rp - h0), sz)
+            sz = jnp.where(
+                (g[..., rp] == e) & zok, zmap.anchor + (rp - h0), sz
+            )
         zcols.append(sz)
     src = jnp.stack(zcols, axis=-1).reshape(b, v, kxy * l)
     return Routes(src=src, anchor=zmap.anchor)
