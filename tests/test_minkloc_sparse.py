@@ -265,6 +265,40 @@ class TestFormulationEquivalence:
             )
 
 
+    def test_zrun_matches_im2col_gradients(self, rng):
+        """Training runs through whichever formulation is active, so
+        autodiff through both must agree (kernel grads accumulate over
+        k^3 taps -> loose float tolerance)."""
+        pts = rng.rand(2, 256, 3).astype(np.float32) * 2 - 1
+        coords, valid, dims = ms.quantize_cartesian(jnp.asarray(pts), 0.05)
+        pyr = ms.build_pyramid(
+            coords, valid, dims, num_levels=1, num_top_down=0,
+            conv0_kernel_size=5,
+        )
+        routes, tbl = pyr.block_routes[0], pyr.tables[1]
+        vcap = tbl.keys.shape[1]
+        feats = jnp.asarray(
+            rng.rand(2, vcap, 8).astype(np.float32)
+        ) * tbl.mask[..., None]
+        conv = ms.SparseConv(features=6, kernel=3)
+        variables = conv.init(jax.random.PRNGKey(1), feats, routes)
+
+        gz = jax.grad(
+            lambda v, f: jnp.sum(conv.apply(v, f, routes) ** 2), (0, 1)
+        )(variables, feats)
+        gi = jax.grad(
+            lambda v, f: jnp.sum(conv.apply(v, f, routes.src) ** 2), (0, 1)
+        )(variables, feats)
+        np.testing.assert_allclose(
+            np.asarray(gz[0]["params"]["kernel"]),
+            np.asarray(gi[0]["params"]["kernel"]),
+            rtol=1e-4, atol=1e-4,
+        )
+        np.testing.assert_allclose(
+            np.asarray(gz[1]), np.asarray(gi[1]), rtol=1e-4, atol=1e-5
+        )
+
+
 class TestMinkLocSparseModel:
     def test_build_routing(self):
         m = build_minkloc(dict(SPARSE_PARAM))
