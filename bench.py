@@ -69,8 +69,43 @@ def _throughput(forward, variables, batch, iters, warmup=WARMUP):
     return batch * iters / dt, dt / iters
 
 
+def _backend_watchdog(timeout_s: float = 600.0):
+    """Fail fast (one explanatory JSON line) if backend init hangs.
+
+    The axon tunnel can wedge host-side (observed round 3: loopback
+    relay ports dead for hours; ``jax.devices()`` then blocks forever
+    instead of erroring). The driver expects ONE JSON line from this
+    script — a hang would stall it, so probe device init in a
+    subprocess first and report the outage as data.
+    """
+    import subprocess
+    import sys as _sys
+
+    try:
+        proc = subprocess.run(
+            [_sys.executable, "-c", "import jax; jax.devices()"],
+            timeout=timeout_s, capture_output=True,
+        )
+        if proc.returncode == 0:
+            return
+        detail = (proc.stderr or b"").decode()[-200:]
+    except subprocess.TimeoutExpired:
+        detail = f"jax.devices() still blocked after {timeout_s:.0f}s"
+    print(json.dumps({
+        "metric": "patch_aug_net_desc_per_sec",
+        "value": None,
+        "unit": "descriptors/s/chip",
+        "vs_baseline": None,
+        "error": f"TPU backend init failed/hung ({detail.strip()}); "
+                 "see BASELINE.md for the last recorded numbers",
+    }))
+    raise SystemExit(0)
+
+
 def main():
     import numpy as np
+
+    _backend_watchdog()
     import jax
 
     jax.config.update("jax_default_matmul_precision", "float32")
