@@ -31,7 +31,31 @@ MODEL_CFGS = {
 }
 
 
+def _backend_watchdog(timeout_s: float = 600.0):
+    """Fail fast if TPU backend init hangs (see bench.py's watchdog:
+    the axon tunnel can wedge host-side and jax.devices() then blocks
+    forever instead of erroring)."""
+    import json
+    import subprocess
+    import sys as _sys
+
+    try:
+        proc = subprocess.run(
+            [_sys.executable, "-c", "import jax; jax.devices()"],
+            timeout=timeout_s, capture_output=True,
+        )
+        if proc.returncode == 0:
+            return
+        detail = (proc.stderr or b"").decode()[-200:]
+    except subprocess.TimeoutExpired:
+        detail = f"jax.devices() still blocked after {timeout_s:.0f}s"
+    print(json.dumps({"error": f"TPU backend init failed/hung "
+                               f"({detail.strip()})"}))
+    raise SystemExit(0)
+
+
 def main():
+    _backend_watchdog()
     ap = argparse.ArgumentParser()
     ap.add_argument("--models", nargs="*", default=list(MODEL_CFGS))
     args = ap.parse_args()
