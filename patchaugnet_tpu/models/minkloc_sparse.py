@@ -703,9 +703,19 @@ class SparseConv(nn.Module):
         w = kernel.reshape(kxy, l * cin, self.features)
         ext = _shift_ext(feats, l, h0)
         src3 = src.reshape(b, v, kxy, l)
+        # PCR_SPARSE_CONV_GATHER=raw bypasses ops.grouping.gather's
+        # anti-cliff batch chunking (built for the B=100 eval gathers;
+        # at cin>=128 the (B, V, L*C) ext table crosses its size
+        # threshold and fragments the conv graph) — on-chip A/B knob.
+        import os as _os
+
+        if _os.environ.get("PCR_SPARSE_CONV_GATHER") == "raw":
+            from ..ops.grouping import _gather_flat as _g
+        else:
+            _g = gather
         out = None
         for o in range(kxy):
-            g = gather(ext, anchor[..., o])                   # (B, V, L*C)
+            g = _g(ext, anchor[..., o])                       # (B, V, L*C)
             sels = []
             for z in range(l):
                 dz = z - h0
