@@ -159,9 +159,24 @@ def compute_fpfh(
     max_nn_normal: int = 30,
     max_nn_feature: int = 100,
     normals: Optional[np.ndarray] = None,
+    use_native: bool = True,
 ) -> np.ndarray:
     """``(N, 3)`` cloud -> ``(N, 33)`` FPFH features (float64, like the
-    open3d Feature matrix the reference caches)."""
+    open3d Feature matrix the reference caches).
+
+    Dispatches to the threaded C++ implementation (csrc/fpfh.cc, same
+    formulation — equivalence-tested in tests/test_fpfh.py) when it is
+    buildable; ``use_native=False`` or ``PCR_FPFH_NATIVE=0`` forces this
+    numpy path (which mirrors open3d's math most readably and is the
+    semantics oracle)."""
+    if use_native:
+        from . import fpfh_native
+
+        if fpfh_native.available():
+            return fpfh_native.compute_fpfh_native(
+                points, radius_normal, radius_feature,
+                max_nn_normal, max_nn_feature, normals=normals,
+            )
     pts = np.asarray(points, np.float64)
     n = pts.shape[0]
     if n == 0:

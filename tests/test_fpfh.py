@@ -159,3 +159,72 @@ class TestFPFH:
         assert ds.get_fpfh(0, radius_normal=50.0, radius_feature=50.0) is f
         fs = ds.get_fpfhs([0, 1], radius_normal=50.0, radius_feature=50.0)
         assert len(fs) == 2
+
+
+class TestNativeFPFH:
+    """csrc/fpfh.cc vs the numpy semantics oracle.
+
+    Exact bit-parity between ANY two FPFH implementations is
+    unattainable at the formulation's decision boundaries, where the
+    outcome flips with last-ulp op order (numpy's own BLAS reduction
+    order differs from scalar C; a different numpy build would differ
+    from itself):
+
+      - theta = atan2(y, x) with y pure cancellation noise (~1e-17)
+        flips between +pi (bin 10) and -pi (bin 0);
+      - the PCL source/target swap compares acos|a1| vs acos|a2|,
+        which ties when normals are near-parallel (abundant on smooth
+        surfaces) — a flipped swap negates phi (symmetric bin move).
+
+    ~0.05% of pairs on smooth-surface clouds sit on a boundary; every
+    flip conserves per-11-bin-group mass. The tests assert equality up
+    to exactly that signature.
+    """
+
+    def _surface(self, rng, n=300):
+        xy = rng.rand(n, 2) * 2 - 1
+        z = 0.3 * np.sin(2 * xy[:, 0]) * np.cos(2 * xy[:, 1])
+        z = z + 0.02 * rng.randn(n)
+        return np.column_stack([xy, z]).astype(np.float32)
+
+    def test_available_and_matches_numpy(self, rng):
+        from patchaugnet_tpu.data import fpfh_native
+
+        if not fpfh_native.available():
+            pytest.skip("no g++ / native lib")
+        pts = self._surface(rng)
+        nrm = fpfh.estimate_normals(pts, 0.2, 30)
+        a = fpfh.compute_fpfh(pts, 0.2, 0.2, normals=nrm, use_native=False)
+        b = fpfh_native.compute_fpfh_native(pts, 0.2, 0.2, 30, 100, normals=nrm)
+        # per-row 11-bin group sums are conserved exactly
+        np.testing.assert_allclose(
+            a.reshape(-1, 3, 11).sum(-1), b.reshape(-1, 3, 11).sum(-1),
+            atol=1e-9,
+        )
+        # the vast majority of rows are bit-identical; the rest carry
+        # boundary-flip mass moves only (tiny total)
+        d = np.abs(a - b)
+        frac_exact = float((d.max(1) <= 1e-9).mean())
+        assert frac_exact >= 0.85, frac_exact
+        assert d.sum() <= 0.02 * a.sum(), (d.sum(), a.sum())
+
+    def test_native_normals_match_numpy(self, rng):
+        from patchaugnet_tpu.data import fpfh_native
+
+        if not fpfh_native.available():
+            pytest.skip("no g++ / native lib")
+        pts = self._surface(rng)
+        nrm_np = fpfh.estimate_normals(pts, 0.2, 30)
+        _, nrm_c = fpfh_native.compute_fpfh_native(
+            pts, 0.2, 0.2, 30, 100, return_normals=True
+        )
+        d = np.abs(nrm_np - nrm_c).max(1)
+        # rank-deficient (collinear) neighbourhoods have arbitrary
+        # smallest-eigenvectors — allow isolated disagreements only
+        assert (d > 1e-6).sum() <= 3, (d > 1e-6).sum()
+        assert np.median(d) < 1e-9
+
+    def test_dispatch_falls_back(self, rng):
+        pts = self._surface(rng, n=60)
+        a = fpfh.compute_fpfh(pts, 0.2, 0.2, use_native=False)
+        assert a.shape == (60, 33) and np.isfinite(a).all()
