@@ -59,22 +59,90 @@ struct Nbr {
   int idx;
 };
 
-// k nearest of query i by (d2, index), ascending. Writes exactly k
-// entries (k <= n).
-void knn_row(const double* pts, int n, int i, int k, std::vector<Nbr>& row) {
-  row.clear();
-  row.reserve(n);
-  const double xi = pts[3 * i], yi = pts[3 * i + 1], zi = pts[3 * i + 2];
-  for (int j = 0; j < n; ++j) {
-    const double dx = pts[3 * j] - xi;
-    const double dy = pts[3 * j + 1] - yi;
-    const double dz = pts[3 * j + 2] - zi;
-    row.push_back({dx * dx + dy * dy + dz * dz, j});
+// Uniform-grid spatial index (CSR layout). Cell size >= radius, so a
+// query's in-radius neighbours all live in its 3x3x3 cell ring. The
+// hybrid-search RESULT only depends on the min(max_nn, #in-radius)
+// nearest in-radius points (out-of-radius slots of the brute-force
+// formulation are masked no-ops downstream), so grid search with the
+// same (d2, index) ordering is exactly equivalent — and turns the
+// O(n^2) all-pairs scan into O(n * ring occupancy).
+struct RadiusGrid {
+  double cell, ox, oy, oz;
+  int nx, ny, nz;
+  std::vector<int> start;   // nx*ny*nz + 1
+  std::vector<int> order;   // point ids grouped by cell
+
+  void build(const double* pts, int n, double radius) {
+    double lo[3] = {pts[0], pts[1], pts[2]};
+    double hi[3] = {pts[0], pts[1], pts[2]};
+    for (int i = 1; i < n; ++i)
+      for (int a = 0; a < 3; ++a) {
+        lo[a] = std::min(lo[a], pts[3 * i + a]);
+        hi[a] = std::max(hi[a], pts[3 * i + a]);
+      }
+    const double ext = std::max(
+        {hi[0] - lo[0], hi[1] - lo[1], hi[2] - lo[2], 1e-12});
+    cell = std::max(radius, ext / 96.0);   // bound the cell count
+    ox = lo[0];
+    oy = lo[1];
+    oz = lo[2];
+    nx = static_cast<int>((hi[0] - lo[0]) / cell) + 1;
+    ny = static_cast<int>((hi[1] - lo[1]) / cell) + 1;
+    nz = static_cast<int>((hi[2] - lo[2]) / cell) + 1;
+    const int cells = nx * ny * nz;
+    std::vector<int> cnt(cells + 1, 0);
+    std::vector<int> ci(n);
+    for (int i = 0; i < n; ++i) {
+      ci[i] = cell_of(&pts[3 * i]);
+      ++cnt[ci[i] + 1];
+    }
+    for (int c = 0; c < cells; ++c) cnt[c + 1] += cnt[c];
+    start = cnt;
+    order.resize(n);
+    std::vector<int> fill = start;
+    for (int i = 0; i < n; ++i) order[fill[ci[i]]++] = i;
   }
+
+  int cell_of(const double* p) const {
+    int cx = static_cast<int>((p[0] - ox) / cell);
+    int cy = static_cast<int>((p[1] - oy) / cell);
+    int cz = static_cast<int>((p[2] - oz) / cell);
+    cx = std::min(std::max(cx, 0), nx - 1);
+    cy = std::min(std::max(cy, 0), ny - 1);
+    cz = std::min(std::max(cz, 0), nz - 1);
+    return (cx * ny + cy) * nz + cz;
+  }
+};
+
+// In-radius k nearest of query i by (d2, index), ascending.
+void radius_knn(const RadiusGrid& g, const double* pts, int i, int k,
+                double r2, std::vector<Nbr>& row) {
+  row.clear();
+  const double xi = pts[3 * i], yi = pts[3 * i + 1], zi = pts[3 * i + 2];
+  int cx = static_cast<int>((xi - g.ox) / g.cell);
+  int cy = static_cast<int>((yi - g.oy) / g.cell);
+  int cz = static_cast<int>((zi - g.oz) / g.cell);
+  cx = std::min(std::max(cx, 0), g.nx - 1);
+  cy = std::min(std::max(cy, 0), g.ny - 1);
+  cz = std::min(std::max(cz, 0), g.nz - 1);
+  for (int ax = std::max(cx - 1, 0); ax <= std::min(cx + 1, g.nx - 1); ++ax)
+    for (int ay = std::max(cy - 1, 0); ay <= std::min(cy + 1, g.ny - 1); ++ay)
+      for (int az = std::max(cz - 1, 0); az <= std::min(cz + 1, g.nz - 1);
+           ++az) {
+        const int c = (ax * g.ny + ay) * g.nz + az;
+        for (int s = g.start[c]; s < g.start[c + 1]; ++s) {
+          const int j = g.order[s];
+          const double dx = pts[3 * j] - xi;
+          const double dy = pts[3 * j + 1] - yi;
+          const double dz = pts[3 * j + 2] - zi;
+          const double d2 = dx * dx + dy * dy + dz * dz;
+          if (d2 <= r2) row.push_back({d2, j});
+        }
+      }
   auto cmp = [](const Nbr& a, const Nbr& b) {
     return a.d2 != b.d2 ? a.d2 < b.d2 : a.idx < b.idx;
   };
-  if (k < n) {
+  if (k < static_cast<int>(row.size())) {
     std::partial_sort(row.begin(), row.begin() + k, row.end(), cmp);
     row.resize(k);
   } else {
@@ -126,20 +194,19 @@ void smallest_eigenvector(double a[9], double v_out[3]) {
   v_out[2] = v[6 + m];
 }
 
-void estimate_normal_row(const double* pts, int n, int i, double radius,
-                         int max_nn, double* normal, std::vector<Nbr>& row) {
+void estimate_normal_row(const RadiusGrid& grid, const double* pts, int n,
+                         int i, double radius, int max_nn, double* normal,
+                         std::vector<Nbr>& row) {
   const int k = std::min(max_nn, n);
-  knn_row(pts, n, i, k, row);
   const double r2 = radius * radius;
+  radius_knn(grid, pts, i, k, r2, row);
   double mean[3] = {0, 0, 0};
   double cnt = 0;
   for (const auto& nb : row) {
-    if (nb.d2 <= r2) {
-      mean[0] += pts[3 * nb.idx];
-      mean[1] += pts[3 * nb.idx + 1];
-      mean[2] += pts[3 * nb.idx + 2];
-      cnt += 1.0;
-    }
+    mean[0] += pts[3 * nb.idx];
+    mean[1] += pts[3 * nb.idx + 1];
+    mean[2] += pts[3 * nb.idx + 2];
+    cnt += 1.0;
   }
   const double denom = cnt > 0 ? cnt : 1.0;
   mean[0] /= denom;
@@ -147,7 +214,6 @@ void estimate_normal_row(const double* pts, int n, int i, double radius,
   mean[2] /= denom;
   double cov[9] = {0, 0, 0, 0, 0, 0, 0, 0, 0};
   for (const auto& nb : row) {
-    if (nb.d2 > r2) continue;
     const double cx = pts[3 * nb.idx] - mean[0];
     const double cy = pts[3 * nb.idx + 1] - mean[1];
     const double cz = pts[3 * nb.idx + 2] - mean[2];
@@ -254,10 +320,12 @@ extern "C" int compute_fpfh_f64(const double* points, int n,
   std::vector<double> normals_buf;
   const double* normals = normals_in;
   if (!normals) {
+    RadiusGrid ngrid;
+    ngrid.build(points, n, radius_normal);
     normals_buf.resize(static_cast<size_t>(n) * 3);
     parallel_rows(n, n_threads, [&](int i) {
       thread_local std::vector<Nbr> row;
-      estimate_normal_row(points, n, i, radius_normal, max_nn_normal,
+      estimate_normal_row(ngrid, points, n, i, radius_normal, max_nn_normal,
                           &normals_buf[3 * static_cast<size_t>(i)], row);
     });
     normals = normals_buf.data();
@@ -265,20 +333,25 @@ extern "C" int compute_fpfh_f64(const double* points, int n,
   if (normals_out)
     std::memcpy(normals_out, normals, sizeof(double) * 3 * n);
 
-  // feature neighbourhoods (column 0 = self, dropped like fpfh.py)
+  // feature neighbourhoods (first in-radius entry = the lowest-index
+  // zero-distance candidate — the brute-force layout's column 0 —
+  // dropped like fpfh.py)
   const int kf = std::min(max_nn_feature, n);
   const int km = kf - 1;  // neighbours kept per point
   std::vector<int> nbr_idx(static_cast<size_t>(n) * std::max(km, 0));
   std::vector<double> nbr_d2(static_cast<size_t>(n) * std::max(km, 0));
+  std::vector<int> nbr_cnt(n, 0);
   std::vector<double> spfh(static_cast<size_t>(n) * kDim, 0.0);
   if (km <= 0) {
     std::memset(out, 0, sizeof(double) * kDim * n);
     return 0;
   }
   const double r2 = radius_feature * radius_feature;
+  RadiusGrid fgrid;
+  fgrid.build(points, n, radius_feature);
   parallel_rows(n, n_threads, [&](int i) {
     thread_local std::vector<Nbr> row;
-    knn_row(points, n, i, kf, row);
+    radius_knn(fgrid, points, i, kf, r2, row);
     int* ni = &nbr_idx[static_cast<size_t>(i) * km];
     double* nd = &nbr_d2[static_cast<size_t>(i) * km];
     struct Trip {
@@ -287,19 +360,22 @@ extern "C" int compute_fpfh_f64(const double* points, int n,
     thread_local std::vector<Trip> trips;
     trips.clear();
     int n_pairs = 0;
-    for (int c = 1; c < kf; ++c) {
+    int cnt = 0;
+    for (size_t c = 1; c < row.size(); ++c) {
       const Nbr& nb = row[c];
-      ni[c - 1] = nb.idx;
-      nd[c - 1] = nb.d2;
-      const bool valid = nb.d2 <= r2 && nb.d2 > 1e-24;
+      ni[cnt] = nb.idx;
+      nd[cnt] = nb.d2;
+      ++cnt;
       double alpha, phi, theta;
-      if (valid && pair_features(&points[3 * i], &normals[3 * i],
-                                 &points[3 * nb.idx], &normals[3 * nb.idx],
-                                 &alpha, &phi, &theta)) {
+      if (nb.d2 > 1e-24 &&
+          pair_features(&points[3 * i], &normals[3 * i],
+                        &points[3 * nb.idx], &normals[3 * nb.idx],
+                        &alpha, &phi, &theta)) {
         trips.push_back({alpha, phi, theta});
         ++n_pairs;
       }
     }
+    nbr_cnt[i] = cnt;
     const double wpair = 100.0 / (n_pairs > 0 ? n_pairs : 1);
     double* h = &spfh[static_cast<size_t>(i) * kDim];
     for (const auto& t : trips) {
@@ -315,9 +391,8 @@ extern "C" int compute_fpfh_f64(const double* points, int n,
     const double* nd = &nbr_d2[static_cast<size_t>(i) * km];
     double acc[kDim];
     std::memset(acc, 0, sizeof(acc));
-    for (int c = 0; c < km; ++c) {
-      const bool valid = nd[c] <= r2 && nd[c] > 1e-24;
-      if (!valid) continue;
+    for (int c = 0; c < nbr_cnt[i]; ++c) {
+      if (nd[c] <= 1e-24) continue;
       const double w = 1.0 / std::max(nd[c], 1e-24);
       const double* hs = &spfh[static_cast<size_t>(ni[c]) * kDim];
       for (int d = 0; d < kDim; ++d) acc[d] += w * hs[d];
