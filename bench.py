@@ -139,6 +139,30 @@ def main():
         forward100, variables, 100, BATCH100_ITERS, warmup=2
     )
 
+    # Mixed-precision serving path (COMPUTE_DTYPE bf16): same f32 param
+    # tree, bf16 feature path with f32 geometry/accumulation — the
+    # forward is HBM-bound, so halving feature bytes is the lever past
+    # the f32 roofline. Reported alongside the exact-path headline with
+    # a descriptor-fidelity figure (cosine vs f32 on one batch).
+    model16 = get_model(
+        "patch_aug_net", dict(FULL_PARAM, COMPUTE_DTYPE="bfloat16")
+    )
+
+    def fwd16(variables, clouds):
+        return model16.apply(variables, clouds, train=False).global_desc
+
+    forward16 = jax.jit(fwd16)
+    compiled16 = forward16.lower(variables, x).compile()
+    bytes16 = float(_cost(compiled16).get("bytes accessed", float("nan")))
+    bf16_desc_per_sec, sec16 = _throughput(forward16, variables, BATCH, ITERS)
+    hbm_util16 = bytes16 / sec16 / V5E_PEAK_HBM_BYTES
+    d32 = np.asarray(forward(variables, x))
+    d16 = np.asarray(forward16(variables, x))
+    cos = float(
+        ((d32 * d16).sum(-1)
+         / (np.linalg.norm(d32, axis=-1) * np.linalg.norm(d16, axis=-1))).min()
+    )
+
     mfu = flops_per_batch / sec_per_batch / V5E_PEAK_BF16_FLOPS
     hbm_util = bytes_per_batch / sec_per_batch / V5E_PEAK_HBM_BYTES
     print(
@@ -158,6 +182,9 @@ def main():
                 "hbm_util": round(hbm_util, 4),
                 "flops_per_cloud": round(flops_per_batch / BATCH),
                 "batch100_desc_per_sec": round(b100_desc_per_sec, 2),
+                "bf16_desc_per_sec": round(bf16_desc_per_sec, 2),
+                "bf16_hbm_util": round(hbm_util16, 4),
+                "bf16_desc_cosine_vs_f32": round(cos, 6),
             }
         )
     )

@@ -51,6 +51,12 @@ def get_args():
                    help="force jax platform (e.g. cpu)")
     p.add_argument("--devices", type=int, default=1,
                    help="shard descriptor extraction over a device mesh")
+    p.add_argument("--precision", type=str, default="float32",
+                   choices=["float32", "bfloat16"],
+                   help="compute dtype for the model forward: bfloat16 "
+                        "runs the feature path at bf16 (f32 params/"
+                        "geometry/accumulation, f32 descriptors out); "
+                        "checkpoints are precision-agnostic")
     args = p.parse_args()
     if args.platform:
         import jax
@@ -73,6 +79,8 @@ def main():
     cfg = yaml.safe_load(open(args.config or CONFIG_TABLE[args.model_type]))
     cfg["model_type"] = args.model_type
     cfg["dataset"] = args.dataset
+    if args.precision != "float32":
+        cfg["COMPUTE_DTYPE"] = args.precision
 
     import numpy as np
     import jax

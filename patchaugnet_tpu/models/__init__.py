@@ -17,8 +17,11 @@ def get_model(model_type: str, param: Dict[str, Any]):
     if model_type == "pptnet_l2_norm":
         return PPTNet(param=param, use_normalize=True)
     if model_type == "pointnet_vlad":
+        cdt = param.get("COMPUTE_DTYPE")
         return PointNetVLAD(
-            num_points=param["NUM_POINTS"], output_dim=param["FEATURE_OUTPUT_DIM"]
+            num_points=param["NUM_POINTS"],
+            output_dim=param["FEATURE_OUTPUT_DIM"],
+            compute_dtype=None if cdt is None else cdt,
         )
     if model_type == "patch_aug_net":
         return PatchAugNet(

@@ -44,6 +44,10 @@ class PointNet2SAModule(nn.Module):
     use_xyz: bool = True
     # TPU PartialReduce kNN at this recall target (None = exact top_k)
     knn_approx_recall: Optional[float] = None
+    # Mixed-precision compute dtype for the feature path (geometry —
+    # FPS/kNN over xyz — always runs f32 so index selection is
+    # bit-identical to the exact path). None = f32.
+    dtype: Optional[jnp.dtype] = None
 
     @nn.compact
     def __call__(
@@ -62,7 +66,9 @@ class PointNet2SAModule(nn.Module):
             use_xyz=self.use_xyz,
             approx_recall=self.knn_approx_recall,
         )
-        h = SharedMLP(self.mlp, name="mlp")(grouped.new_features, train=train)
+        h = SharedMLP(self.mlp, dtype=self.dtype, name="mlp")(
+            grouped.new_features, train=train
+        )
         h = jnp.max(h, axis=2)                             # neighbour max-pool
         if self.gp is not None:
             h = GroupSA(self.mlp[-1], self.gp, name="sa")(h, train=train)
@@ -124,6 +130,10 @@ class PointNet2FPModule(nn.Module):
     """Feature-propagation level: 3-NN interpolate + SharedMLP."""
 
     mlp: Sequence[int]
+    # See PointNet2SAModule.dtype: 3-NN geometry stays f32; the big
+    # known-feature gather moves at the feature dtype (half the HBM
+    # bytes of the fp0 gather when upstream features are bf16).
+    dtype: Optional[jnp.dtype] = None
 
     @nn.compact
     def __call__(
@@ -137,10 +147,15 @@ class PointNet2FPModule(nn.Module):
     ) -> jax.Array:
         interp = ops.interpolate_features(unknown_xyz, known_xyz, known_feats)
         if unknown_feats is not None:
+            if self.dtype is not None:
+                # avoid a silent f32 promotion of the whole concat when
+                # one side (the raw xyz at level 0) is still f32
+                interp = interp.astype(self.dtype)
+                unknown_feats = unknown_feats.astype(self.dtype)
             h = jnp.concatenate([interp, unknown_feats], axis=-1)
         else:
             h = interp
-        return SharedMLP(self.mlp, name="mlp")(h, train=train)
+        return SharedMLP(self.mlp, dtype=self.dtype, name="mlp")(h, train=train)
 
 
 def index_provenance(

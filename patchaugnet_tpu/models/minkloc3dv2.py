@@ -127,13 +127,18 @@ class MaskedBatchNorm(nn.Module):
         )
         scale = self.param("scale", nn.initializers.ones, (c,))
         bias = self.param("bias", nn.initializers.zeros, (c,))
-        m = mask[..., None].astype(x.dtype)
+        # statistics and the normalisation itself run in f32 even when
+        # the feature path is bf16 (COMPUTE_DTYPE); output returns to
+        # x.dtype so the bf16 chain is preserved. All casts are no-ops
+        # on the default f32 path.
+        xf = x.astype(jnp.float32)
+        mf = mask[..., None].astype(jnp.float32)
         if use_running_average:
             mean, var = ra_mean.value, ra_var.value
         else:
-            cnt = jnp.maximum(jnp.sum(m), 1.0)
-            mean = jnp.sum(x * m, axis=red) / cnt
-            var = jnp.sum((x - mean) ** 2 * m, axis=red) / cnt
+            cnt = jnp.maximum(jnp.sum(mf), 1.0)
+            mean = jnp.sum(xf * mf, axis=red) / cnt
+            var = jnp.sum((xf - mean) ** 2 * mf, axis=red) / cnt
             if not self.is_initializing():
                 ra_mean.value = (
                     self.momentum * ra_mean.value + (1 - self.momentum) * mean
@@ -141,8 +146,8 @@ class MaskedBatchNorm(nn.Module):
                 ra_var.value = (
                     self.momentum * ra_var.value + (1 - self.momentum) * var
                 )
-        y = (x - mean) * jax.lax.rsqrt(var + self.epsilon) * scale + bias
-        return y * m
+        y = (xf - mean) * jax.lax.rsqrt(var + self.epsilon) * scale + bias
+        return (y * mf).astype(x.dtype)
 
 
 class ECALayer(nn.Module):
@@ -158,14 +163,16 @@ class ECALayer(nn.Module):
         t = int(abs((math.log2(self.channels) + self.b) / self.gamma))
         k = t if t % 2 else t + 1
         red = tuple(range(1, x.ndim - 1))
-        m = mask[..., None].astype(x.dtype)
-        y = jnp.sum(x * m, axis=red) / jnp.maximum(
+        # channel means in f32 (bf16 sums over thousands of voxels lose
+        # precision); the gate returns to x.dtype — no-ops under f32
+        m = mask[..., None].astype(jnp.float32)
+        y = jnp.sum(x.astype(jnp.float32) * m, axis=red) / jnp.maximum(
             jnp.sum(m, axis=red), 1.0
         )                                                       # (B, C)
         y = nn.Conv(1, (k,), padding="SAME", use_bias=False, name="conv")(
             y[..., None]
         )[..., 0]
-        gate = jax.nn.sigmoid(y)
+        gate = jax.nn.sigmoid(y).astype(x.dtype)
         return x * gate.reshape(gate.shape[0], *([1] * (x.ndim - 2)), -1)
 
 
@@ -476,6 +483,7 @@ def build_minkloc(param: Dict[str, Any]):
             extent=param.get("extent", 1.0),
             polar_max_dist=param.get("polar_max_dist", 1.5),
             normalize_embeddings=param.get("normalize_embeddings", False),
+            compute_dtype=param.get("COMPUTE_DTYPE", param.get("compute_dtype")),
         )
     if grid_size is None:
         grid_size = grid_size_for_step(

@@ -681,7 +681,7 @@ class SparseConv(nn.Module):
             return jnp.einsum(
                 "bvc,cd->bvd",
                 feats,
-                kernel.reshape(cin, self.features),
+                kernel.reshape(cin, self.features).astype(feats.dtype),
                 preferred_element_type=jnp.float32,
             ).astype(feats.dtype)
         if anchor is not None and _conv_formulation() == "zrun":
@@ -700,7 +700,9 @@ class SparseConv(nn.Module):
         kxy = anchor.shape[-1]
         l = src.shape[-1] // kxy
         h0 = 0 if self.stride == 2 else (self.kernel - 1) // 2
-        w = kernel.reshape(kxy, l * cin, self.features)
+        # compute at the feature dtype (bf16 under COMPUTE_DTYPE; no-op
+        # at f32) with f32 MXU accumulation via preferred_element_type
+        w = kernel.reshape(kxy, l * cin, self.features).astype(feats.dtype)
         ext = _shift_ext(feats, l, h0)
         src3 = src.reshape(b, v, kxy, l)
         # PCR_SPARSE_CONV_GATHER=raw bypasses ops.grouping.gather's
@@ -741,7 +743,7 @@ class SparseConv(nn.Module):
         appended zero row) + one ``(K*Cin) -> Cout`` MXU matmul."""
         b, _, cin = feats.shape
         v, kk = src.shape[1], src.shape[-1]      # output sites, taps
-        w = kernel.reshape(kk * cin, self.features)
+        w = kernel.reshape(kk * cin, self.features).astype(feats.dtype)
         fp = jnp.concatenate(
             [feats, jnp.zeros((b, 1, cin), feats.dtype)], axis=1
         )
@@ -843,6 +845,10 @@ class SparseVoxelFPN(nn.Module):
     num_top_down: int = 1
     conv0_kernel_size: int = 5
     block: str = "ECABasicBlock"
+    # Mixed-precision compute dtype: the residual trunk (gather convs —
+    # the HBM movers) runs at this dtype with f32 params, f32 MXU
+    # accumulation and f32 BN statistics; routing stays int32. None = f32.
+    dtype: Optional[Any] = None
 
     @nn.compact
     def __call__(self, feats, pyramid: Pyramid, *, train: bool = False):
@@ -864,6 +870,8 @@ class SparseVoxelFPN(nn.Module):
             feats_are_mask=feats_are_mask,
         )
         x = nn.relu(x)
+        if self.dtype is not None:
+            x = x.astype(self.dtype)
         feature_maps = []
         if self.num_top_down == num_bottom_up:
             feature_maps.append(x)
@@ -915,7 +923,7 @@ class SparseTConv(nn.Module):
         kernel = self.param(
             "kernel", nn.initializers.lecun_normal(), (2, 2, 2, cin, self.features)
         )
-        w = kernel.reshape(8, cin, self.features)
+        w = kernel.reshape(8, cin, self.features).astype(coarse_feats.dtype)
         parent = gather(coarse_feats, up_idx[..., 0])          # (B, V, Cin)
         out = None
         for o in range(8):
@@ -947,6 +955,9 @@ class MinkLocSparse(nn.Module):
     extent: float = 1.0
     polar_max_dist: float = 1.5
     normalize_embeddings: bool = False
+    # COMPUTE_DTYPE "bfloat16": bf16 trunk, f32 quantization/routing/
+    # params/pooling, f32 descriptor out (see patch_aug_net.py).
+    compute_dtype: Optional[Any] = None
 
     @nn.compact
     def __call__(self, points: jax.Array, *, train: bool = False) -> jax.Array:
@@ -976,8 +987,12 @@ class MinkLocSparse(nn.Module):
             num_top_down=self.num_top_down,
             conv0_kernel_size=self.conv0_kernel_size,
             block=self.block,
+            dtype=self.compute_dtype,
             name="backbone",
         )(None, pyramid, train=train)
+        if self.compute_dtype is not None:
+            # pooling (GeM powers) and the descriptor are f32
+            x = x.astype(jnp.float32)
         out = MaskedPooling(
             self.pooling, self.feature_size, self.output_dim, name="pooling"
         )(x, out_mask, train=train)

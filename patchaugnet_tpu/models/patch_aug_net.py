@@ -76,6 +76,15 @@ class PatchAugNet(nn.Module):
         sap, knn, dil = p["SAMPLING"], p["KNN"], p.get("KNN_DILATION", 1)
         fs = p["FEATURE_SIZE"]
         use_origin_pc_in_fp = p.get("USE_ORIGIN_PC_IN_FP", True)
+        # Mixed-precision serving: COMPUTE_DTYPE "bfloat16" runs the
+        # feature path (SharedMLPs, feature gathers, VLAD einsums) at
+        # bf16 with f32 params/accumulation/BN-stats; geometry (FPS,
+        # kNN, 3-NN) stays f32 so every index matches the exact path,
+        # and the returned descriptor/fp features are f32. The forward
+        # is HBM-bound (profiles/README.md) — halving feature bytes is
+        # the main lever past the f32 roofline.
+        cdt = p.get("COMPUTE_DTYPE")
+        cdt = jnp.dtype(cdt) if cdt is not None else None
 
         # SA widths (patch_aug_net.py:124-132): 64, 256, 512.
         sa_specs = [
@@ -93,6 +102,7 @@ class PatchAugNet(nn.Module):
                 knn_dilation=dil,
                 gp=None,
                 knn_approx_recall=p.get("KNN_APPROX_RECALL"),
+                dtype=cdt,
                 name=f"sa{i}",
             )(l_xyz[i], l_feats[i], train=train)
             l_xyz.append(out.new_xyz)
@@ -112,7 +122,9 @@ class PatchAugNet(nn.Module):
             unknown_feats = l_feats[i]
             if i == 0 and not use_origin_pc_in_fp:
                 unknown_feats = None
-            l_feats[i] = PointNet2FPModule(mlp=fp_specs[i], name=f"fp{i}")(
+            l_feats[i] = PointNet2FPModule(
+                mlp=fp_specs[i], dtype=cdt, name=f"fp{i}"
+            )(
                 l_xyz[i], l_xyz[i + 1], unknown_feats, l_feats[i + 1], train=train
             )
 
@@ -128,8 +140,15 @@ class PatchAugNet(nn.Module):
             gating=p.get("GATING", False),
             aggregation_type=p.get("AGGREGATION_TYPE", 2),
             add_batch_norm=True,
+            dtype=cdt,
             name="aggregation",
         )(fp_features, train=train)
+        if cdt is not None:
+            # surface contract: descriptors and fp features are f32
+            # regardless of the compute dtype (retrieval/top-k consumers
+            # assume f32 tables).
+            desc = desc.astype(jnp.float32)
+            fp_features = [f.astype(jnp.float32) for f in fp_features]
 
         patch_data = None
         if with_patches:

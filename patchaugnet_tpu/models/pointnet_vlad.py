@@ -27,6 +27,9 @@ class PointNetFeat(nn.Module):
     num_points: int = 4096
     feature_transform: bool = True
     max_pool: bool = False
+    # Mixed-precision compute dtype for the conv stack (STNs stay f32 —
+    # they produce the geometric transforms). None = exact f32 path.
+    dtype: jnp.dtype | None = None
 
     @nn.compact
     def __call__(self, x: jax.Array, *, train: bool = False) -> jax.Array:
@@ -35,8 +38,10 @@ class PointNetFeat(nn.Module):
         x = jnp.einsum("bnd,bde->bne", x, trans, preferred_element_type=jnp.float32)
 
         def block(h, f, name, act=True):
-            h = nn.Dense(f, name=name)(h)
-            h = batch_norm(name=f"{name}_bn")(h, use_running_average=not train)
+            h = nn.Dense(f, dtype=self.dtype, name=name)(h)
+            h = batch_norm(name=f"{name}_bn", dtype=self.dtype)(
+                h, use_running_average=not train
+            )
             return nn.relu(h) if act else h
 
         x = block(x, 64, "conv1")
@@ -60,20 +65,31 @@ class PointNetVLAD(nn.Module):
     num_points: int = 4096
     output_dim: int = 256
     feature_transform: bool = True
+    # Mixed-precision serving (see patch_aug_net.py COMPUTE_DTYPE):
+    # bf16 conv stack + VLAD einsums, f32 params/accumulation/output.
+    compute_dtype: jnp.dtype | None = None
 
     @nn.compact
     def __call__(self, x: jax.Array, *, train: bool = False) -> jax.Array:
         if x.ndim == 4:                                    # accept (B, 1, N, 3)
             x = x.squeeze(1)
         feat = PointNetFeat(
-            self.num_points, self.feature_transform, max_pool=False, name="point_net"
+            self.num_points,
+            self.feature_transform,
+            max_pool=False,
+            dtype=self.compute_dtype,
+            name="point_net",
         )(x, train=train)
-        return NetVLADLoupe(
+        out = NetVLADLoupe(
             feature_size=1024,
             max_samples=self.num_points,
             cluster_size=64,
             output_dim=self.output_dim,
             gating=True,
             add_batch_norm=True,
+            dtype=self.compute_dtype,
             name="net_vlad",
         )(feat, train=train)
+        if self.compute_dtype is not None:
+            out = out.astype(jnp.float32)
+        return out

@@ -42,6 +42,10 @@ class PPTNet(nn.Module):
             x = x.squeeze(1)
         p = self.param
         sap, knn, fs, gp = p["SAMPLING"], p["KNN"], p["FEATURE_SIZE"], p["GROUP"]
+        # COMPUTE_DTYPE "bfloat16": mixed-precision feature path (see
+        # patch_aug_net.py — geometry f32, params f32, output f32).
+        cdt = p.get("COMPUTE_DTYPE")
+        cdt = jnp.dtype(cdt) if cdt is not None else None
         # SA widths per reference (pptnet.py:76-83): 64, 128, 256, 512.
         sa_specs = [
             (sap[0], knn[0], [32, 32, 64]),
@@ -54,7 +58,8 @@ class PPTNet(nn.Module):
         for i, (npoint, k, widths) in enumerate(sa_specs):
             out = PointNet2SAModule(
                 npoint=npoint, nsample=k, mlp=widths, gp=gp,
-                knn_approx_recall=p.get("KNN_APPROX_RECALL"), name=f"sa{i}"
+                knn_approx_recall=p.get("KNN_APPROX_RECALL"),
+                dtype=cdt, name=f"sa{i}"
             )(l_xyz[i], l_feats[i], train=train)
             l_xyz.append(out.new_xyz)
             l_feats.append(out.features)
@@ -71,7 +76,9 @@ class PPTNet(nn.Module):
             [256, fs[3]],        # 512+256
         ]
         for i in range(len(fp_specs) - 1, -1, -1):
-            l_feats[i] = PointNet2FPModule(mlp=fp_specs[i], name=f"fp{i}")(
+            l_feats[i] = PointNet2FPModule(
+                mlp=fp_specs[i], dtype=cdt, name=f"fp{i}"
+            )(
                 l_xyz[i], l_xyz[i + 1], l_feats[i], l_feats[i + 1], train=train
             )
 
@@ -83,8 +90,12 @@ class PPTNet(nn.Module):
             output_dim=p["OUTPUT_DIM"],
             gating=p["GATING"],
             add_batch_norm=True,
+            dtype=cdt,
             name="aggregation",
         )(fp_features, train=train)
         if self.use_normalize:
             desc = l2_normalize(desc, axis=-1)
+        if cdt is not None:
+            desc = desc.astype(jnp.float32)
+            fp_features = [f.astype(jnp.float32) for f in fp_features]
         return PPTNetOutput(desc, fp_features, center_origin)

@@ -13,7 +13,7 @@ BatchNorm semantics match torch defaults (pt_util convs use
 """
 from __future__ import annotations
 
-from typing import Callable, Optional, Sequence
+from typing import Any, Callable, Optional, Sequence
 
 import jax
 import jax.numpy as jnp
@@ -23,18 +23,30 @@ from flax import linen as nn
 BN_MOMENTUM = 0.9
 BN_EPS = 1e-5
 
+# Compute dtype for mixed-precision inference (params stay f32; flax BN
+# keeps running stats and stat reductions in f32 regardless). ``None``
+# everywhere = the exact f32 path.
+Dtype = Optional[Any]
 
-def batch_norm(name: Optional[str] = None, *, axis_name: Optional[str] = None) -> nn.BatchNorm:
+
+def batch_norm(
+    name: Optional[str] = None,
+    *,
+    axis_name: Optional[str] = None,
+    dtype: Dtype = None,
+) -> nn.BatchNorm:
     """BatchNorm with reference-equivalent hyperparameters.
 
     ``axis_name`` enables cross-device stat sync under shard_map/pjit when
-    batch stats must match a single-device run.
+    batch stats must match a single-device run. ``dtype`` is the compute
+    dtype (result dtype); statistics always reduce in f32.
     """
     return nn.BatchNorm(
         use_running_average=None,
         momentum=BN_MOMENTUM,
         epsilon=BN_EPS,
         axis_name=axis_name,
+        dtype=dtype,
         name=name,
     )
 
@@ -50,15 +62,20 @@ class SharedMLP(nn.Module):
     features: Sequence[int]
     bn: bool = True
     activation: Optional[Callable[[jax.Array], jax.Array]] = nn.relu
+    dtype: Dtype = None
 
     @nn.compact
     def __call__(self, x: jax.Array, *, train: bool = False) -> jax.Array:
         for i, f in enumerate(self.features):
-            x = nn.Dense(f, use_bias=not self.bn, name=f"layer{i}")(x)
+            x = nn.Dense(
+                f, use_bias=not self.bn, dtype=self.dtype, name=f"layer{i}"
+            )(x)
             if self.bn:
                 # torch BN2d normalises over (B, M, K) per channel; flax
                 # BatchNorm reduces over all leading axes — identical.
-                x = batch_norm(name=f"bn{i}")(x, use_running_average=not train)
+                x = batch_norm(name=f"bn{i}", dtype=self.dtype)(
+                    x, use_running_average=not train
+                )
             if self.activation is not None:
                 x = self.activation(x)
         return x
@@ -71,6 +88,7 @@ class MLP(nn.Module):
     bn: bool = True
     activation: Optional[Callable[[jax.Array], jax.Array]] = nn.relu
     final_activation: bool = False
+    dtype: Dtype = None
 
     @nn.compact
     def __call__(self, x: jax.Array, *, train: bool = False) -> jax.Array:
@@ -79,9 +97,11 @@ class MLP(nn.Module):
             last = i == n - 1
             act = self.activation if (not last or self.final_activation) else None
             use_bn = self.bn and (not last or self.final_activation)
-            x = nn.Dense(f, use_bias=not use_bn, name=f"fc{i}")(x)
+            x = nn.Dense(f, use_bias=not use_bn, dtype=self.dtype, name=f"fc{i}")(x)
             if use_bn:
-                x = batch_norm(name=f"bn{i}")(x, use_running_average=not train)
+                x = batch_norm(name=f"bn{i}", dtype=self.dtype)(
+                    x, use_running_average=not train
+                )
             if act is not None:
                 x = act(x)
         return x

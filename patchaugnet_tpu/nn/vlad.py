@@ -27,7 +27,7 @@ channels-last ``(B, N, C)`` point features (the reference's
 from __future__ import annotations
 
 import math
-from typing import Sequence
+from typing import Optional, Sequence
 
 import jax
 import jax.numpy as jnp
@@ -47,6 +47,11 @@ class NetVLADBase(nn.Module):
     feature_size: int
     cluster_size: int
     add_batch_norm: bool = True
+    # Mixed-precision compute dtype: the two N-sized einsums (assignment
+    # and residual aggregation — the HBM movers at N=4096) run with
+    # bf16 inputs and f32 MXU accumulation; softmax, the (B, C, K)
+    # residual subtraction and the intra-norm stay f32. None = exact f32.
+    dtype: Optional[jnp.dtype] = None
 
     @nn.compact
     def __call__(self, x: jax.Array, *, train: bool = False) -> jax.Array:
@@ -57,8 +62,10 @@ class NetVLADBase(nn.Module):
         cluster_w2 = self.param(
             "cluster_weights2", init, (1, self.feature_size, self.cluster_size)
         )
+        xc = x if self.dtype is None else x.astype(self.dtype)
+        wc = cluster_w if self.dtype is None else cluster_w.astype(self.dtype)
         activation = jnp.einsum(
-            "bnc,ck->bnk", x, cluster_w, preferred_element_type=jnp.float32
+            "bnc,ck->bnk", xc, wc, preferred_element_type=jnp.float32
         )
         if self.add_batch_norm:
             # reference normalises the flattened (B*N, K) activations
@@ -72,8 +79,9 @@ class NetVLADBase(nn.Module):
         activation = jax.nn.softmax(activation, axis=-1)   # (B, N, K)
         a_sum = jnp.sum(activation, axis=1, keepdims=True) # (B, 1, K)
         a = a_sum * cluster_w2                             # (B, C, K)
+        ac = activation if self.dtype is None else activation.astype(self.dtype)
         vlad = jnp.einsum(
-            "bnk,bnc->bck", activation, x, preferred_element_type=jnp.float32
+            "bnk,bnc->bck", ac, xc, preferred_element_type=jnp.float32
         )
         vlad = vlad - a
         return l2_normalize(vlad, axis=1)                  # intra-norm over C
@@ -120,6 +128,9 @@ class SpatialPyramidNetVLAD(nn.Module):
     gating: bool = False
     aggregation_type: int = 2
     add_batch_norm: bool = True
+    # Compute dtype for the per-scale VLAD cores (the N-sized work);
+    # the AFA/FC heads after aggregation are (B, C*K)-sized and stay f32.
+    dtype: Optional[jnp.dtype] = None
 
     @nn.compact
     def __call__(self, features: Sequence[jax.Array], *, train: bool = False) -> jax.Array:
@@ -129,6 +140,7 @@ class SpatialPyramidNetVLAD(nn.Module):
                 self.feature_size[i],
                 self.cluster_size[i],
                 self.add_batch_norm,
+                dtype=self.dtype,
                 name=f"vlad{i}",
             )(features[i], train=train)
             for i in range(len(features))
@@ -214,6 +226,7 @@ class PPTSpatialPyramidNetVLAD(nn.Module):
     output_dim: Sequence[int]
     gating: bool = True
     add_batch_norm: bool = True
+    dtype: Optional[jnp.dtype] = None
 
     @nn.compact
     def __call__(self, features: Sequence[jax.Array], *, train: bool = False) -> jax.Array:
@@ -223,6 +236,7 @@ class PPTSpatialPyramidNetVLAD(nn.Module):
                 self.feature_size[i],
                 self.cluster_size[i],
                 self.add_batch_norm,
+                dtype=self.dtype,
                 name=f"vlad{i}",
             )(f, train=train)
             flats.append(_flatten_ck(v))
@@ -254,11 +268,16 @@ class NetVLADLoupe(nn.Module):
     output_dim: int
     gating: bool = True
     add_batch_norm: bool = True
+    dtype: Optional[jnp.dtype] = None
 
     @nn.compact
     def __call__(self, x: jax.Array, *, train: bool = False) -> jax.Array:
         vlad = NetVLADBase(
-            self.feature_size, self.cluster_size, self.add_batch_norm, name="base"
+            self.feature_size,
+            self.cluster_size,
+            self.add_batch_norm,
+            dtype=self.dtype,
+            name="base",
         )(x, train=train)                                   # (B, C, K)
         flat = _flatten_ck(vlad)                            # (B, C*K)
         flat = l2_normalize(flat, axis=-1)

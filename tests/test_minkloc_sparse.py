@@ -447,3 +447,27 @@ class TestSparseSmoothAPTraining:
             losses.append(float(stats["loss"]))
         assert np.isfinite(losses).all()
         assert losses[-1] < losses[0], losses
+
+
+class TestComputeDtypeSparse:
+    def test_bf16_matches_f32(self, rng):
+        """COMPUTE_DTYPE bf16: identical f32 param tree (checkpoint
+        compatible), f32 descriptor out, near-f32 fidelity; the voxel
+        routing (int32 tables) never sees bf16."""
+        import jax.tree_util as jtu
+        from patchaugnet_tpu.models.minkloc3dv2 import build_minkloc
+
+        x = jnp.asarray(rng.rand(2, 512, 3).astype(np.float32) * 2 - 1)
+        m32 = build_minkloc(dict(SPARSE_PARAM))
+        v = jax.jit(m32.init)(jax.random.PRNGKey(0), x)
+        m16 = build_minkloc(dict(SPARSE_PARAM, COMPUTE_DTYPE="bfloat16"))
+        v16 = jax.jit(m16.init)(jax.random.PRNGKey(0), x)
+        spec = lambda t: jtu.tree_map(lambda a: (a.shape, str(a.dtype)), t)
+        assert spec(v) == spec(v16)
+        o32 = np.asarray(jax.jit(lambda v, a: m32.apply(v, a))(v, x))
+        o16 = np.asarray(jax.jit(lambda v, a: m16.apply(v, a))(v, x))
+        assert o16.dtype == np.float32
+        cos = (o32 * o16).sum(-1) / (
+            np.linalg.norm(o32, axis=-1) * np.linalg.norm(o16, axis=-1)
+        )
+        assert cos.min() > 0.999, cos

@@ -219,3 +219,61 @@ class TestMSGModule:
         np.testing.assert_array_equal(
             np.asarray(out_sa.sample_idx), np.asarray(out_msg.sample_idx)
         )
+
+
+class TestComputeDtype:
+    """COMPUTE_DTYPE bf16 serving path: checkpoint-compatible (identical
+    f32 param tree), f32 descriptors out, bit-identical geometry
+    (FPS/kNN indices), and near-f32 descriptor fidelity."""
+
+    CASES = [
+        ("patch_aug_net", PATCH_AUG_PARAM),
+        ("pptnet_l2_norm", PPT_PARAM),
+        ("pointnet_vlad", PNV_PARAM),
+    ]
+
+    @pytest.mark.parametrize("model_type,base", CASES,
+                             ids=[c[0] for c in CASES])
+    def test_bf16_matches_f32(self, rng, model_type, base):
+        import jax.tree_util as jtu
+
+        x = jnp.asarray(rng.rand(2, 256, 3), jnp.float32)
+        m32 = get_model(model_type, base)
+        v = jax.jit(m32.init)(jax.random.PRNGKey(0), x)
+        m16 = get_model(model_type, dict(base, COMPUTE_DTYPE="bfloat16"))
+        v16 = jax.jit(m16.init)(jax.random.PRNGKey(0), x)
+        # same tree -> f32 checkpoints restore into the bf16 model as-is
+        spec = lambda t: jtu.tree_map(lambda a: (a.shape, str(a.dtype)), t)
+        assert spec(v) == spec(v16)
+
+        o32 = jax.jit(lambda v, a: m32.apply(v, a))(v, x)
+        o16 = jax.jit(lambda v, a: m16.apply(v, a))(v, x)
+        d32 = o32 if model_type == "pointnet_vlad" else o32.global_desc
+        d16 = o16 if model_type == "pointnet_vlad" else o16.global_desc
+        assert d16.dtype == jnp.float32
+        d32, d16 = np.asarray(d32), np.asarray(d16)
+        cos = (d32 * d16).sum(-1) / (
+            np.linalg.norm(d32, axis=-1) * np.linalg.norm(d16, axis=-1)
+        )
+        assert cos.min() > 0.999, cos
+
+        if model_type == "patch_aug_net":
+            # geometry invariance: index selection never sees bf16
+            for a, b in zip(o32.center_idx_origin, o16.center_idx_origin):
+                np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+            for a, b in zip(o32.sample_idx_origin, o16.sample_idx_origin):
+                np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+            for f in o16.fp_features:
+                assert f.dtype == jnp.float32
+
+    def test_f32_default_unchanged(self, rng):
+        """No COMPUTE_DTYPE key -> byte-identical to the pre-flag path."""
+        x = jnp.asarray(rng.rand(2, 256, 3), jnp.float32)
+        m = get_model("patch_aug_net", PATCH_AUG_PARAM)
+        v = jax.jit(m.init)(jax.random.PRNGKey(0), x)
+        m_none = get_model("patch_aug_net", dict(PATCH_AUG_PARAM, COMPUTE_DTYPE=None))
+        a = jax.jit(lambda v, a: m.apply(v, a))(v, x)
+        b = jax.jit(lambda v, a: m_none.apply(v, a))(v, x)
+        np.testing.assert_array_equal(
+            np.asarray(a.global_desc), np.asarray(b.global_desc)
+        )
