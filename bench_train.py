@@ -8,9 +8,10 @@ reference configuration: batch of 4 tuples x (1+2+14+1) = 72 clouds of
 
 Prints one JSON line {"metric", "value", "unit"}.
 
-Usage: bench_train.py [--tuples N] [--remat]
+Usage: bench_train.py [--tuples N] [--remat] [--precision bfloat16]
   --tuples N   tuple-batch size (default 4, the reference config)
   --remat      rematerialise the forward in the backward (cfg REMAT)
+  --precision  model compute dtype (COMPUTE_DTYPE; default float32)
 """
 import argparse
 import json
@@ -51,6 +52,8 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--tuples", type=int, default=4)
     ap.add_argument("--remat", action="store_true")
+    ap.add_argument("--precision", type=str, default="float32",
+                    choices=["float32", "bfloat16"])
     args = ap.parse_args()
     import numpy as np
     import jax
@@ -77,6 +80,8 @@ def main():
         use_hard_negative_patch_mining=True,
         REMAT=args.remat,
     )
+    if args.precision != "float32":
+        cfg["COMPUTE_DTYPE"] = args.precision
     total = cfg["TRAIN_BATCH_SIZE"] * (1 + 2 + 14 + 1)
     n = cfg["NUM_POINTS"]
     rng = np.random.RandomState(0)
@@ -130,7 +135,8 @@ def main():
                 "metric": (
                     f"patch_aug_net train steps/sec ({cfg['TRAIN_BATCH_SIZE']} "
                     f"tuples x 18 clouds x 4096 pts"
-                    + (", remat" if args.remat else "") + ")"
+                    + (", remat" if args.remat else "")
+                    + (", bf16" if args.precision != "float32" else "") + ")"
                 ),
                 "value": round(1.0 / dt, 3),
                 "unit": "steps/s",

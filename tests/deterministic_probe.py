@@ -66,10 +66,24 @@ def main():
     out = train.evaluate(state.variables, forward, test_ds, top_k=5, batch_size=6)
     recall = out.get("recall_at_1", 0.0)
 
+    # bf16 serving leg: the SAME trained f32 state evaluated through the
+    # COMPUTE_DTYPE=bfloat16 forward — quality evidence that the mixed-
+    # precision path preserves trained retrieval, under the same
+    # deterministic settings.
+    model16 = get_model("patch_aug_net", dict(cfg, COMPUTE_DTYPE="bfloat16"))
+    forward16 = train.build_forward_fn(model16, cfg)
+    out16 = train.evaluate(
+        state.variables, forward16, test_ds, top_k=5, batch_size=6
+    )
+    recall16 = out16.get("recall_at_1", 0.0)
+
     h = hashlib.sha256()
     for leaf in jax.tree_util.tree_leaves(state.params):
         h.update(np.asarray(leaf).tobytes())
-    print(f"DETPROBE recall={recall:.6f} params_sha={h.hexdigest()[:16]}")
+    print(
+        f"DETPROBE recall={recall:.6f} recall_bf16={recall16:.6f} "
+        f"params_sha={h.hexdigest()[:16]}"
+    )
 
 
 if __name__ == "__main__":

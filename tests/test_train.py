@@ -100,6 +100,33 @@ class TestTrainStep:
         assert float(metrics["patch_recon_a2a"]) > 0
         assert "patch_recon_a2b" in metrics
 
+    def test_bf16_train_step_converges(self):
+        """COMPUTE_DTYPE=bfloat16 training: backbone fwd/bwd at bf16
+        (f32 params/optimizer/BN-stats; losses + patch branch f32).
+        The step must run, keep f32 parameters, and reduce the loss."""
+        cfg = dict(SMALL_CFG, COMPUTE_DTYPE="bfloat16")
+        model = get_model("patch_aug_net", cfg)
+        ds = make_synthetic_ds()
+        batch = ds.sample_batch([0, 4])
+        center_fn = train.build_center_fn(cfg["SAMPLING"][0])
+        corr, mask = train.prepare_patch_inputs(batch, center_fn, cfg, epoch=0)
+        clouds = jnp.asarray(batch.clouds)
+        x = jnp.zeros((clouds.shape[0], cfg["NUM_POINTS"], 3))
+        state = train.create_train_state(
+            model, jax.random.PRNGKey(0), x, cfg,
+            init_kwargs={"with_patches": True},
+        )
+        step = train.build_train_step(model, cfg)
+        losses = []
+        for _ in range(8):
+            state, metrics = step(state, clouds, corr, mask)
+            losses.append(float(metrics["total"]))
+        assert np.isfinite(losses).all()
+        assert losses[-1] < losses[0], losses
+        assert {str(l.dtype) for l in jax.tree_util.tree_leaves(state.params)} == {
+            "float32"
+        }
+
     def test_remat_step_matches_plain(self, _model_and_state_cached):
         """REMAT=true recomputes the forward in the backward pass —
         same losses and parameter updates, less live memory."""
@@ -428,6 +455,45 @@ class TestParallel:
         pb = jax.tree_util.tree_leaves(s2.params)[0]
         np.testing.assert_allclose(np.asarray(pa), np.asarray(pb), atol=1e-5)
 
+    def test_parallel_step_bf16_matches_single(self):
+        """COMPUTE_DTYPE=bfloat16 composes with the pjit data-parallel
+        step: cross-device BN stat sync runs over the f32 statistics.
+        Unlike the f32 path (bit-matching at 1e-5), reduction-order
+        differences in the synced stats get amplified to full bf16 ulps
+        (~0.4%) by the downstream bf16 casts — the honest contract is
+        agreement at bf16 granularity, not bit-match (measured 0.54%
+        loss delta on this seed)."""
+        cfg = dict(SMALL_CFG, COMPUTE_DTYPE="bfloat16")
+        model = get_model("patch_aug_net", cfg)
+        x = jnp.zeros((2 * 5, cfg["NUM_POINTS"], 3))
+        state0 = train.create_train_state(
+            model, jax.random.PRNGKey(0), x, cfg,
+            init_kwargs={"with_patches": True},
+        )
+        ds = make_synthetic_ds()
+        batch = ds.sample_batch([0, 4])
+        center_fn = train.build_center_fn(cfg["SAMPLING"][0])
+        corr, mask = train.prepare_patch_inputs(batch, center_fn, cfg, 0)
+        clouds = jnp.asarray(batch.clouds)
+        sstep = train.build_train_step(model, cfg)
+        s1, m1 = sstep(
+            jax.tree_util.tree_map(jnp.copy, state0), clouds, corr, mask
+        )
+        mesh2 = parallel.make_mesh(2)
+        pstep = parallel.build_parallel_train_step(model, cfg, mesh2)
+        s2, m2 = pstep(
+            jax.tree_util.tree_map(jnp.copy, state0),
+            parallel.shard_batch(mesh2, clouds), corr,
+            parallel.shard_batch(mesh2, mask),
+        )
+        assert np.isfinite(float(m2["total"]))
+        np.testing.assert_allclose(
+            float(m1["total"]), float(m2["total"]), rtol=0.05
+        )
+        pa = jax.tree_util.tree_leaves(s1.params)[0]
+        pb = jax.tree_util.tree_leaves(s2.params)[0]
+        np.testing.assert_allclose(np.asarray(pa), np.asarray(pb), atol=5e-3)
+
     def test_parallel_forward_sharded_records(self, model_and_state):
         model, state = model_and_state
         mesh = parallel.make_mesh(4)
@@ -544,6 +610,7 @@ class TestDeterministicQualityGate:
             assert out, proc.stdout[-2000:]
             lines.append(out[0])
         r0 = float(lines[0].split("recall=")[1].split()[0])
+        r16 = float(lines[0].split("recall_bf16=")[1].split()[0])
         if lines[0] != lines[1]:
             pytest.skip(
                 f"platform nondeterministic even single-threaded: {lines}"
@@ -551,5 +618,10 @@ class TestDeterministicQualityGate:
         assert r0 >= 74.0, (
             f"deterministic trained recall regressed: {r0:.2f} < 74 "
             f"(pinned from the 79.17 reference measurement)"
+        )
+        # bf16 serving must preserve trained retrieval quality
+        assert r16 >= r0 - 5.0, (
+            f"bf16-eval recall {r16:.2f} dropped >5 points below the "
+            f"f32 path ({r0:.2f})"
         )
 

@@ -48,6 +48,13 @@ def get_args():
     p.add_argument("--print-flops", action="store_true",
                    help="print XLA cost-analysis FLOPs at startup "
                         "(the reference's fvcore report)")
+    p.add_argument("--precision", type=str, default=None,
+                   choices=["float32", "bfloat16"],
+                   help="model compute dtype (default: config "
+                        "COMPUTE_DTYPE or float32). bfloat16 runs the "
+                        "backbone fwd/bwd at bf16 with f32 params/"
+                        "optimizer/BN-stats; losses and the patch "
+                        "branch stay f32")
     args = p.parse_args()
     if args.platform:
         import jax
@@ -66,6 +73,11 @@ def get_args():
         cfg["EXP_DIR"] = args.exp_dir
     if args.num_points is not None:
         cfg["NUM_POINTS"] = args.num_points
+    if args.precision is not None:
+        if args.precision == "float32":
+            cfg.pop("COMPUTE_DTYPE", None)
+        else:
+            cfg["COMPUTE_DTYPE"] = args.precision
     cfg["event_dir"] = os.path.join(
         cfg["EXP_DIR"], cfg["model_type"], "events",
         datetime.now().strftime("%Y-%m-%dT%H-%M-%S"),
