@@ -58,6 +58,9 @@ def main():
     _backend_watchdog()
     ap = argparse.ArgumentParser()
     ap.add_argument("--models", nargs="*", default=list(MODEL_CFGS))
+    ap.add_argument("--precision", type=str, default="float32",
+                    choices=["float32", "bfloat16"],
+                    help="model compute dtype (COMPUTE_DTYPE)")
     args = ap.parse_args()
 
     import numpy as np
@@ -74,6 +77,8 @@ def main():
     for name in args.models:
         cfg = yaml.safe_load(open(MODEL_CFGS[name]))
         cfg["model_type"] = name
+        if args.precision != "float32":
+            cfg["COMPUTE_DTYPE"] = args.precision
         model = get_model(name, cfg)
         x = jax.random.uniform(rng, (BATCH, N_POINTS, 3), jnp.float32) * 2 - 1
         variables = jax.jit(model.init)(rng, x)
@@ -98,6 +103,8 @@ def main():
         np.asarray(r)
         dt = (time.perf_counter() - t0) / ITERS
         extra = {}
+        if args.precision != "float32":
+            extra["precision"] = args.precision
         if name == "minkloc3dv2":
             extra["backend"] = type(model).__name__
             extra["quantization_step"] = cfg.get("quantization_step")

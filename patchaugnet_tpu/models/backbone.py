@@ -71,7 +71,9 @@ class PointNet2SAModule(nn.Module):
         )
         h = jnp.max(h, axis=2)                             # neighbour max-pool
         if self.gp is not None:
-            h = GroupSA(self.mlp[-1], self.gp, name="sa")(h, train=train)
+            h = GroupSA(self.mlp[-1], self.gp, dtype=self.dtype, name="sa")(
+                h, train=train
+            )
         return SALevelOutput(new_xyz, center_idx, grouped.sample_idx, h)
 
 

@@ -20,7 +20,7 @@ division by the column sum over axis 1.
 """
 from __future__ import annotations
 
-from typing import Sequence, Tuple
+from typing import Any, Optional, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -85,6 +85,7 @@ class _GroupedDense(nn.Module):
 
     channels: int
     gp: int
+    dtype: Optional[Any] = None
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:        # (B, N, C)
@@ -95,9 +96,32 @@ class _GroupedDense(nn.Module):
             (self.gp, cg, cg),
         )
         xg = x.reshape(*x.shape[:-1], self.gp, cg)
-        return jnp.einsum(
-            "...gi,gio->...go", xg, w, preferred_element_type=jnp.float32
-        ).reshape(x.shape)
+        if self.dtype is None:
+            out = jnp.einsum(
+                "...gi,gio->...go", xg, w, preferred_element_type=jnp.float32
+            )
+            return out.reshape(x.shape)
+        # Low-precision path: unroll the (small, static) group axis into
+        # plain 2D dots. The grouped einsum lowers to a dot with a batch
+        # dim on both operands plus extra lhs free dims — a form XLA-CPU's
+        # DotThunk cannot execute at bf16 (UNIMPLEMENTED: BF16 x BF16 =
+        # F32); per-group `...i,io->...o` dots are supported everywhere
+        # and tile onto the TPU MXU identically.
+        xg = xg.astype(self.dtype)
+        w = w.astype(self.dtype)
+        out = jnp.stack(
+            [
+                jnp.einsum(
+                    "...i,io->...o",
+                    xg[..., g, :],
+                    w[g],
+                    preferred_element_type=jnp.float32,
+                )
+                for g in range(self.gp)
+            ],
+            axis=-2,
+        )
+        return out.reshape(x.shape).astype(self.dtype)
 
 
 class GroupSA(nn.Module):
@@ -111,25 +135,37 @@ class GroupSA(nn.Module):
 
     channels: int
     gp: int
+    # Mixed-precision compute dtype: Q/K/V projections and the two
+    # (B, N, N)-sized attention matmuls run at this dtype with f32 MXU
+    # accumulation; the softmax + column normalisation stay f32.
+    dtype: Optional[Any] = None
 
     @nn.compact
     def __call__(self, x: jax.Array, *, train: bool = False) -> jax.Array:
         cg = self.channels // self.gp
-        qk = _GroupedDense(self.channels, self.gp, name="qk_conv")
+        if self.dtype is not None:
+            x = x.astype(self.dtype)
+        qk = _GroupedDense(self.channels, self.gp, dtype=self.dtype, name="qk_conv")
         xq = qk(x).reshape(*x.shape[:-1], self.gp, cg)     # (B, N, gp, C')
         xk = xq                                            # tied weights
-        xv = nn.Dense(self.channels, name="v_conv")(x)     # (B, N, C)
+        xv = nn.Dense(self.channels, dtype=self.dtype, name="v_conv")(x)
         energy = jnp.einsum(
             "bngc,bmgc->bnm", xq, xk, preferred_element_type=jnp.float32
         )
         attn = jax.nn.softmax(energy, axis=-1)
         attn = attn / (1e-9 + jnp.sum(attn, axis=1, keepdims=True))
+        if self.dtype is not None:
+            attn = attn.astype(self.dtype)
         # torch: x_r[c, j] = sum_i v[c, i] * attn[i, j]
         x_r = jnp.einsum(
             "bic,bij->bjc", xv, attn, preferred_element_type=jnp.float32
         )
-        x_r = nn.Dense(self.channels, name="trans_conv")(x - x_r)
-        x_r = batch_norm(name="after_norm")(x_r, use_running_average=not train)
+        if self.dtype is not None:
+            x_r = x_r.astype(self.dtype)
+        x_r = nn.Dense(self.channels, dtype=self.dtype, name="trans_conv")(x - x_r)
+        x_r = batch_norm(name="after_norm", dtype=self.dtype)(
+            x_r, use_running_average=not train
+        )
         return x + nn.relu(x_r)
 
 

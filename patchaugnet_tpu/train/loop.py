@@ -29,6 +29,10 @@ from .state import TrainState, save_checkpoint
 from .step import empty_patch_inputs
 
 HARD_NEG_EPOCH = 5
+# In-flight steps before a metric fetch (see train_one_epoch): deep
+# enough to hide the tunnel RTT + host batch prep, shallow enough that
+# per-iter logging stays near-live.
+METRIC_FETCH_LAG = 3
 HARD_NEG_EPOCH_FOR_PATCH_ALIGN = 10
 
 
@@ -85,6 +89,31 @@ def train_one_epoch(
     count = 0
     t_start = time.time()
     refresh_every = max(1400 // batch_size, 1)
+
+    # Metric fetches are LAGGED by a small pipeline depth: fetching the
+    # device metrics right after the step would (a) pay one ~28 ms
+    # tunnel round-trip per step and (b) serialise host batch assembly
+    # against device compute. With the device queue in-order, fetching
+    # step i-LAG after enqueuing step i overlaps host prep + transfers
+    # with LAG in-flight steps — the math and every recorded value are
+    # unchanged, only *when* they cross the host boundary.
+    pending: list = []                                     # (iteration, metrics)
+
+    def _drain(entry):
+        it, m = entry
+        keys = sorted(m)
+        # one stacked transfer instead of a round-trip per metric
+        vals = np.asarray(jnp.stack([m[k] for k in keys]))
+        md = dict(zip(keys, vals))
+        for k, v in md.items():
+            epoch_losses.setdefault(k, []).append(float(v))
+        if writer is not None:
+            writer.add_scalars(
+                "iter_loss",
+                {f"train_{k}": float(v) for k, v in md.items()},
+                it,
+            )
+
     for batch in train_ds.iter_epoch(batch_size, shuffle=True):
         if center_fn is not None and batch.nn_dict:
             corr, mask = prepare_patch_inputs(batch, center_fn, cfg, epoch)
@@ -97,19 +126,9 @@ def train_one_epoch(
         state, metrics = train_step(state, clouds, corr, mask)
         total_iterations += batch_size
         count += 1
-        # one stacked transfer instead of a round-trip per metric (the
-        # per-scalar fetch costs ~28 ms each through the axon tunnel)
-        keys = sorted(metrics)
-        vals = np.asarray(jnp.stack([metrics[k] for k in keys]))
-        metrics = dict(zip(keys, vals))
-        for k, v in metrics.items():
-            epoch_losses.setdefault(k, []).append(float(v))
-        if writer is not None:
-            writer.add_scalars(
-                "iter_loss",
-                {f"train_{k}": float(v) for k, v in metrics.items()},
-                total_iterations,
-            )
+        pending.append((total_iterations, metrics))
+        if len(pending) > METRIC_FETCH_LAG:
+            _drain(pending.pop(0))
         # hard-negative mining refresh once the model is robust enough
         if (
             use_hard_neg
@@ -125,6 +144,8 @@ def train_one_epoch(
                 logger.info("Updated cached descriptors for hard-negative mining")
         if max_batches is not None and count >= max_batches:
             break
+    for entry in pending:
+        _drain(entry)
 
     summary = {
         k: float(np.mean(v)) if v else 0.0 for k, v in epoch_losses.items()
