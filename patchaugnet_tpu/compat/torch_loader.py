@@ -328,6 +328,23 @@ def _t_me_1x1(w):
     return np.ascontiguousarray(w.reshape(1, 1, 1, *w.shape))
 
 
+def _t_me_tconv_kernel(w, k: int):
+    """MinkowskiConvolutionTranspose kernel ``(K^3, Cin, Cout)`` -> flax
+    ``nn.ConvTranspose`` kernel ``(K, K, K, Cin, Cout)``.
+
+    ME/torch transposed convs SCATTER with the unflipped kernel
+    (``out[s*p + q] += W[l(q)] @ in[p]``, the transpose of the forward
+    kernel map), while flax ``nn.ConvTranspose`` applies
+    ``K[k-1-q]`` at fine offset q (probed empirically — see
+    minkloc_sparse.upsample_parent_table).  The conversion therefore
+    needs a full spatial REVERSAL on top of :func:`_t_me_kernel`'s
+    axis-order transpose.  Found by the round-4 shim-ME full-forward
+    diff (tests/test_minkloc_ref_parity.py): with the plain transpose,
+    tconv outputs diverged at 20-25x the feature scale while every
+    bottom-up stage matched to noise."""
+    return np.ascontiguousarray(_t_me_kernel(w, k)[::-1, ::-1, ::-1])
+
+
 def _me_conv_bn(sd: StateDict, conv_key: str, bn_prefix: str, k: int):
     """-> the _Conv3dBN tree {conv:{kernel}, bn:{scale,bias}} + stats."""
     kernel = (
@@ -400,7 +417,7 @@ def convert_minkloc3dv2(
     for i in range(num_top_down):
         p[f"tconv{i}"] = {
             "kernel": sd.take(
-                f"backbone.tconvs.{i}.kernel", lambda w: _t_me_kernel(w, 2)
+                f"backbone.tconvs.{i}.kernel", lambda w: _t_me_tconv_kernel(w, 2)
             )
         }
         p[f"lateral{i + 1}"] = {

@@ -176,6 +176,156 @@ def lookup_rank(
     return pos, ((out >> 30) & 1).astype(bool) & (queries != SENTINEL)
 
 
+def lookup_rank_pairs(
+    table_keys: jax.Array, coffs: jax.Array
+) -> Tuple[jax.Array, jax.Array]:
+    """Insertion ranks of ``keys ± c`` for P positive key shifts — both
+    signs from ONE merge per shift.
+
+    The stride-1 conv map's column-centre queries are the table's own
+    keys shifted by a constant per xy offset (``qc = key + c_o``), so
+    each (+o, -o) offset pair needs only one sorted merge of
+    ``(keys, keys + c)``:
+
+      * rank of ``keys[v] + c``   (the +o column) = keys strictly below
+        the query — the forward count at query positions;
+      * rank of ``keys[v] - c``   (the -o column) = ``#{i: keys[i] + c
+        < keys[v]}`` — the strict query count at key positions (the
+        merge packs equal-valued queries first, so the at-or-below
+        count is corrected by one exactly when the immediately
+        preceding merged element is an equal-valued query).
+
+    vs :func:`lookup_rank` this halves the query columns AND drops the
+    bitonic width from one (V + Kxy*V)-element sort to P batched
+    2V-element sorts (level-0 map at the reference config: 131072-pad
+    289-stage -> 12x8192-row 169-stage, both directions included) —
+    the map-build sorts were 40% of the sparse forward (round-4
+    on-chip component profile).
+
+    Queries are formed UNMASKED (no xy-bounds SENTINEL): out-of-bounds
+    columns get arithmetic ranks instead of rank-of-SENTINEL, which is
+    safe because routing matches against the separately masked
+    ``zmap.qc`` (SENTINEL + dz never equals a window key) and any
+    spurious ``anchor + r == V`` edge match routes a zero-padded
+    shift-ext row (contribution 0; covered by the anchor-clip tests).
+
+    Args:
+      table_keys: ``(B, V)`` sorted unique keys, SENTINEL-padded.
+      coffs: ``(P,)`` int32 positive key shifts (< 2^29).
+    Returns: ``(fwd (B, P, V), rev (B, P, V))`` raw ranks in [0, V].
+    """
+    b, v = table_keys.shape
+    p = coffs.shape[0]
+    kv = jnp.minimum(table_keys, _RANK_CLAMP)
+    # clamp: a query >= 2^29-1 exceeds every valid key either way
+    qv = jnp.minimum(kv[:, None, :] + coffs[None, :, None], _RANK_CLAMP - 1)
+    kb = jnp.broadcast_to(kv[:, None, :], (b, p, v))
+    skey = jnp.concatenate([kb * 2 + 1, qv * 2], axis=-1)      # (B, P, 2V)
+    payload = jnp.broadcast_to(
+        jnp.arange(2 * v, dtype=jnp.int32), (b, p, 2 * v)
+    )
+    svals, spay = jax.lax.sort((skey, payload), num_keys=1, dimension=2)
+    tag = svals & 1                                  # 1 = key element
+    val = svals >> 1
+    rank_fwd = jnp.cumsum(tag, axis=-1) - tag        # keys strictly before
+    csq = jnp.cumsum(1 - tag, axis=-1) - (1 - tag)   # queries at-or-before
+    prev_val = jnp.concatenate(
+        [jnp.full_like(val[..., :1], -1), val[..., :-1]], axis=-1
+    )
+    prev_tag = jnp.concatenate(
+        [jnp.ones_like(tag[..., :1]), tag[..., :-1]], axis=-1
+    )
+    eq = (tag == 1) & (prev_tag == 0) & (prev_val == val)
+    packed = jnp.where(tag == 1, csq - eq, rank_fwd)
+    _, spacked = jax.lax.sort((spay, packed), num_keys=1, dimension=2)
+    return spacked[..., v:], spacked[..., :v]
+
+
+def downsample_with_ranks(
+    table: VoxelTable, dims: Dims
+) -> Tuple[VoxelTable, Dims, jax.Array]:
+    """Stride-2 coordinate map that also yields each fine site's coarse
+    slot (``parent_rank``) — the down map and the tconv map are then
+    scatter/broadcast reads of these ranks instead of rank-merge
+    lookups (4V- and V-query sorts per level, eliminated).
+
+    Note halved keys of sorted fine keys are NOT sorted (halving can
+    merge distinct x values and flip the (y, z) tiebreak — e.g. fine
+    (6,5,4) < (7,0,4) but coarse (3,2,2) > (3,0,2)), so this costs one
+    V-element payload sort + one V-element compaction sort — still far
+    below the (V + Q)-element merges it replaces (V = 4096 pads to a
+    144-stage bitonic; the old level-0 merged sort padded to 131072 at
+    289 stages).
+
+    Returns ``(coarse, cdims, parent_rank (B, V) int32)`` — garbage
+    ranks on invalid fine slots (mask downstream).
+    """
+    coords = decompose_keys(table.keys, dims)
+    cdims = tuple((d + 1) // 2 for d in dims)
+    ck = jnp.where(table.mask, compose_keys(coords // 2, cdims), SENTINEL)
+    b, v = ck.shape
+    iota = jnp.broadcast_to(jnp.arange(v, dtype=jnp.int32), (b, v))
+    sk, pay = jax.lax.sort((ck, iota), num_keys=1, dimension=1)
+    prev = jnp.concatenate([jnp.full_like(sk[:, :1], -1), sk[:, :-1]], axis=1)
+    new = (sk != prev) & (sk != SENTINEL)
+    crank = jnp.cumsum(new.astype(jnp.int32), axis=1) - 1
+    ckeys = jnp.sort(jnp.where(new, sk, SENTINEL), axis=-1)
+    _, parent_rank = jax.lax.sort((pay, crank), num_keys=1, dimension=1)
+    return (
+        VoxelTable(keys=ckeys, mask=ckeys != SENTINEL),
+        cdims,
+        parent_rank.astype(jnp.int32),
+    )
+
+
+def down_routes_from_ranks(
+    parent_rank: jax.Array, fine: VoxelTable, fine_dims: Dims, vc: int
+) -> "Routes":
+    """Kernel-2 stride-2 children :class:`Routes` directly from parent
+    ranks — the down map is the INVERSE of the downsample (each fine
+    site lands in exactly one (coarse site, kernel tap) cell), so it is
+    one V-element scatter instead of a 4V-query rank merge.
+
+    Tap order matches :func:`_zrun_down_queries`/dense kernels:
+    ``(qa*2 + qb)*2 + qz`` with q = fine coord mod 2. Anchor = smallest
+    present child slot per xy column (the two children of a column are
+    CONSECUTIVE fine slots when both present — their keys differ by 1),
+    0 when absent (cannot spuriously match ``anchor + r == V``)."""
+    b, v = fine.keys.shape
+    coords = decompose_keys(fine.keys, fine_dims)
+    q = coords % 2
+    tap = (q[..., 0] * 2 + q[..., 1]) * 2 + q[..., 2]
+    pos = jnp.where(fine.mask, parent_rank * 8 + tap, vc * 8)
+    fidx = jnp.broadcast_to(jnp.arange(v, dtype=jnp.int32), (b, v))
+    src = jnp.full((b, vc * 8), v, jnp.int32)
+    src = jax.vmap(lambda s, pp, ff: s.at[pp].set(ff, mode="drop"))(
+        src, pos, fidx
+    )
+    src = src.reshape(b, vc, 4, 2)
+    mn = jnp.min(src, axis=-1)
+    anchor = jnp.where(mn == v, 0, jnp.clip(mn, 0, v - 1))
+    return Routes(src=src.reshape(b, vc, 8), anchor=anchor)
+
+
+def upsample_from_ranks(
+    parent_rank: jax.Array, fine: VoxelTable, fine_dims: Dims, vc: int
+) -> Tuple[jax.Array, jax.Array]:
+    """:func:`upsample_parent_table` from the downsample's parent ranks
+    (zero lookups): every valid fine site's parent exists by
+    construction, and the flipped-q kernel slot comes from the fine
+    coords. Returns ``(idx (B, V, 8), valid (B, V, 8))``."""
+    coords = decompose_keys(fine.keys, fine_dims)
+    q = coords % 2
+    qflip = 1 - q
+    qi = (qflip[..., 0] * 2 + qflip[..., 1]) * 2 + qflip[..., 2]
+    onehot = qi[..., None] == jnp.arange(8)
+    valid = onehot & fine.mask[..., None]
+    idx = jnp.broadcast_to(
+        jnp.clip(parent_rank, 0, vc - 1)[..., None], valid.shape
+    )
+    return idx, valid
+
+
 def _kernel_offsets(kernel_size: int) -> jax.Array:
     """(k^3, 3) offsets in dense-kernel order: index q maps to offset
     ``q - (k-1)//2`` per dim (flax ``nn.Conv`` SAME orientation, probed:
@@ -350,13 +500,22 @@ def upsample_parent_table(
 
 # -------------------------------------------------------- quantizers
 def quantize_cartesian(
-    points: jax.Array, step: float, extent: float = 1.0
+    points: jax.Array, step: float, extent: float = 1.0, align: int = 16
 ) -> Tuple[jax.Array, jax.Array, Dims]:
     """``floor(p/step)`` like ME.sparse_quantize (quantization.py:47),
-    shifted non-negative. Returns (coords (B,N,3) int32, valid, dims)."""
+    shifted non-negative. Returns (coords (B,N,3) int32, valid, dims).
+
+    The shift is rounded up to a multiple of ``align`` (= 2^num_levels):
+    ME's stride-2 maps floor-halve the RAW (possibly negative) coords,
+    and a shift divisible by 2^s keeps ``floor((c + shift)/2^s) =
+    floor(c/2^s) + shift/2^s`` at every pyramid level — with the old
+    shift of ceil(1/0.01) = 100, level 3 halved an ODD shift of 25 and
+    grouped voxel pairs {2m-1, 2m} instead of ME's {2m, 2m+1}, silently
+    changing the coarse-level topology vs the reference
+    (caught by tests/test_minkloc_ref_parity.py)."""
     import math
 
-    half = math.ceil(extent / step)
+    half = -(-math.ceil(extent / step) // align) * align
     dims = (2 * half + 1,) * 3
     i = jnp.floor(points / step).astype(jnp.int32) + half
     valid = jnp.all((i >= 0) & (i < jnp.asarray(dims, jnp.int32)), axis=-1)
@@ -371,13 +530,17 @@ def quantize_polar(
     z_extent: float = 1.0,
 ) -> Tuple[jax.Array, jax.Array, Dims]:
     """PolarQuantizer (quantization.py:14-37): theta in degrees [0,360],
-    ring distance, z — each floored at its own step."""
+    ring distance, z — each floored at its own step.
+
+    The z shift is rounded up to a multiple of 16 for ME floor-halving
+    alignment like :func:`quantize_cartesian` (theta/ring floor from 0
+    and are naturally aligned)."""
     import math
 
     theta = 180.0 + jnp.arctan2(points[..., 1], points[..., 0]) * (180.0 / jnp.pi)
     dist = jnp.sqrt(points[..., 0] ** 2 + points[..., 1] ** 2)
     z = points[..., 2]
-    zoff = math.ceil(z_extent / steps[2])
+    zoff = -(-math.ceil(z_extent / steps[2]) // 16) * 16
     dims = (
         int(360.0 // steps[0]) + 1,
         math.ceil(max_dist / steps[1]) + 1,
@@ -446,52 +609,60 @@ def build_pyramid(
     t0 = build_table(coords, valid, dims)
     tables: List[VoxelTable] = [t0]
     all_dims: List[Dims] = [dims]
+    parent_ranks: List[jax.Array] = []
+    down_routes: List[Routes] = []
     for _ in range(num_levels):
-        coarse, cdims = downsample_table(tables[-1], all_dims[-1])
+        coarse, cdims, prank = downsample_with_ranks(tables[-1], all_dims[-1])
+        parent_ranks.append(prank)
+        down_routes.append(
+            down_routes_from_ranks(
+                prank, tables[-1], all_dims[-1], coarse.keys.shape[1]
+            )
+        )
         tables.append(coarse)
         all_dims.append(cdims)
-    # One rank-merge sort per TABLE, not per map: the stride-1 map on a
-    # level and the stride-2 children map FROM that level both search
-    # the same sorted keys, so their queries ride one lax.sort (the
-    # sorts are the map build's hot ops — round-3 device traces).
+    # Stride-1 conv anchors: symmetric-pair rank merges (the centre
+    # column's rank is the slot index itself) — the down/up maps above
+    # need no lookups at all (round 4; was one merged rank sort per
+    # table at 131072-pad bitonic width for level 0, 40% of the sparse
+    # forward).
     conv0_routes = None
-    down_routes: List[Routes] = []
     block_routes: List[Routes] = []
     for i in range(num_levels + 1):
         t, d = tables[i], all_dims[i]
         b, v = t.keys.shape
-        parts = []   # (kind, qc, z_ok, h0)
-        if i == 0:
-            qc0, zok0 = _zrun_conv_queries(t, d, conv0_kernel_size)
-            parts.append(("conv0", qc0, zok0, (conv0_kernel_size - 1) // 2))
-        else:
-            qcb, zokb = _zrun_conv_queries(t, d, 3)
-            parts.append(("block", qcb, zokb, 1))
-        if i < num_levels:
-            qcd, zokd = _zrun_down_queries(tables[i + 1], all_dims[i + 1], d)
-            parts.append(("down", qcd, zokd, 0))
-        widths = [p[1].shape[1] * p[1].shape[2] for p in parts]
-        rank, _ = lookup_rank(
-            t.keys,
-            jnp.concatenate([p[1].reshape(b, -1) for p in parts], axis=1),
-            with_found=False,
-        )
-        off = 0
-        for (kind, qc, z_ok, h0), w in zip(parts, widths):
-            zmap = _zmap_from_rank(rank[:, off : off + w], qc, z_ok, v)
-            routes = routes_from_zmap(t.keys, zmap, h0)
-            off += w
-            if kind == "conv0":
-                conv0_routes = routes
-            elif kind == "block":
-                block_routes.append(routes)
+        k = conv0_kernel_size if i == 0 else 3
+        h0 = (k - 1) // 2
+        qc, z_ok = _zrun_conv_queries(t, d, k)
+        offs = _xy_offsets(k)
+        center = (k * k) // 2
+        cpos = (offs[center + 1 :, 0] * d[1] + offs[center + 1 :, 1]) * d[2]
+        fwd, rev = lookup_rank_pairs(t.keys, cpos)
+        iota = jnp.broadcast_to(jnp.arange(v, dtype=jnp.int32), (b, v))
+        cols = []
+        for o in range(k * k):
+            if o < center:
+                cols.append(rev[:, k * k - 2 - o - center])
+            elif o == center:
+                cols.append(iota)
             else:
-                down_routes.append(routes)
+                cols.append(fwd[:, o - center - 1])
+        anchor = jnp.clip(jnp.stack(cols, axis=-1), 0, v - 1)
+        routes = routes_from_zmap(
+            t.keys, ZRunMap(anchor=anchor, qc=qc, z_ok=z_ok), h0
+        )
+        if i == 0:
+            conv0_routes = routes
+        else:
+            block_routes.append(routes)
     up_nbr = []
     for s in range(num_top_down):
         lvl = num_levels - 1 - s                 # fine level of this step
         up_nbr.append(
-            upsample_parent_table(tables[lvl], all_dims[lvl], tables[lvl + 1])
+            upsample_from_ranks(
+                parent_ranks[lvl], tables[lvl], all_dims[lvl],
+                tables[lvl + 1].keys.shape[1],
+            )
         )
     return Pyramid(
         tables=tuple(tables),
@@ -564,11 +735,19 @@ def routes_from_zmap(keys: jax.Array, zmap: ZRunMap, h0: int) -> "Routes":
         cols.append(sh)
     kwin = jnp.stack(cols, axis=-1)                           # (B, V, L)
     g = gather(kwin, zmap.anchor.reshape(b, v * kxy)).reshape(b, v, kxy, l)
+    # column validity: SENTINEL + dz wraps out of the key range for
+    # dz != 0, but dz == 0 leaves e == SENTINEL, which EQUALS the
+    # SENTINEL-padded window keys whenever the anchor lands in the
+    # table's padding tail — routing a phantom (zero-feature, but
+    # counted by conv0's src != V mask fast path) slot. Round 4: mask
+    # the compare explicitly; src now matches conv_neighbor_table
+    # exactly on every column, in-bounds or not.
+    colv = zmap.qc != SENTINEL                                # (B, V, Kxy)
     zcols = []
     for z in range(l):
         dz = z - h0
         e = zmap.qc + dz                                      # (B, V, Kxy)
-        zok = zmap.z_ok[..., z][..., None]                    # (B, V, 1)
+        zok = zmap.z_ok[..., z][..., None] & colv             # (B, V, Kxy)
         sz = jnp.full((b, v, kxy), v, jnp.int32)
         for rp in range(min(h0, h0 + dz), max(h0, h0 + dz) + 1):
             sz = jnp.where(

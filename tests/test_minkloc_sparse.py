@@ -38,9 +38,11 @@ class TestQuantizers:
         step = 0.1
         coords, valid, dims = ms.quantize_cartesian(jnp.asarray(pts), step)
         assert bool(valid.all())
-        expect = np.floor(pts / step).astype(np.int32) + 10
+        # shift = ceil(1/0.1) = 10 rounded up to a multiple of 16 (the
+        # ME floor-halving alignment — see quantize_cartesian.align)
+        expect = np.floor(pts / step).astype(np.int32) + 16
         np.testing.assert_array_equal(np.asarray(coords), expect)
-        assert dims == (21, 21, 21)
+        assert dims == (33, 33, 33)
 
     def test_cartesian_unique_count_matches_numpy(self, rng):
         pts = rng.rand(1, 200, 3).astype(np.float32) * 2 - 1
@@ -317,8 +319,10 @@ class TestMinkLocSparseModel:
         pts = jnp.asarray(
             np.random.RandomState(0).rand(1, 128, 3).astype(np.float32) * 2 - 1
         )
+        # shift = ceil(1/0.01) = 100 rounded up to 112 (multiple of 16,
+        # the ME floor-halving alignment) -> 225 cells/dim
         coords, valid, dims = ms.quantize_cartesian(pts, 0.01)
-        assert dims == (201, 201, 201)
+        assert dims == (225, 225, 225)
         out = jax.jit(lambda x: m.apply(m.init(jax.random.PRNGKey(0), x), x))(pts)
         assert out.shape == (1, 64)
         assert bool(jnp.isfinite(out).all())
