@@ -38,6 +38,12 @@ def _throughput(fn, xs):
 
 
 def main():
+    # fail fast if the axon relay is wedged (ADVICE r3: every real-TPU
+    # entry point needs this — jax.devices() otherwise blocks forever)
+    from bench_models import _backend_watchdog
+
+    _backend_watchdog()
+
     import numpy as np
     import jax
     import jax.numpy as jnp

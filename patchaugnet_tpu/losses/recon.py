@@ -55,7 +55,16 @@ def emd_loss(
     pc1: jax.Array, pc2: jax.Array, eps: float = 0.02, iters: int = 1024
 ) -> jax.Array:
     """mean over clouds of mean per-point euclidean EMD distance
-    (pointnetvlad_loss.py:218-221)."""
+    (pointnetvlad_loss.py:218-221).
+
+    COST WARNING: the auction runs ``iters`` sequential device sweeps —
+    ~1.4 s warm per (4, 4096)-point call at the reference eps/iters on
+    a v5e, vs ~112 ms for a FULL train step with chamfer losses.
+    Selecting ``emd_loss``/``patch_emd_loss`` as the reconstruction
+    loss slows training ~13x; the reference default is chamfer
+    (train_place_recognition.py uses chamfer_loss), which this
+    framework keeps as its practical default. See README "EMD cost
+    cliff"."""
     dist, _ = auction_emd(pc1, pc2, eps, iters)
     return jnp.mean(jnp.mean(jnp.sqrt(dist + _EPS), axis=1))
 
@@ -91,7 +100,10 @@ def patch_emd_loss(
     eps: float = 0.02,
     iters: int = 1024,
 ) -> jax.Array:
-    """Auction EMD over stacked patches (pointnetvlad_loss.py:250-256)."""
+    """Auction EMD over stacked patches (pointnetvlad_loss.py:250-256).
+
+    COST WARNING: sequential auction sweeps — see :func:`emd_loss`;
+    chamfer (:func:`patch_chamfer_loss`) is the practical default."""
     b, m, k, _ = origin_patches.shape
     dist, _ = auction_emd(
         origin_patches.reshape(b * m, k, 3),

@@ -35,8 +35,6 @@ import jax
 import jax.numpy as jnp
 from jax import export as jax_export
 
-from .train.step import _global_desc, _has_local_fields
-
 _META_SUFFIX = ".json"
 _FORMAT = "patchaugnet-tpu-serving/1"
 
@@ -55,6 +53,11 @@ def export_descriptor_fn(
     ``with_local=True`` exports the (global, local, center_idx) tuple for
     models that expose locals; raises for models without them.
     """
+    # local import: keeps load_artifact (the serving-host entry point)
+    # importable without flax/optax — the export side is the only
+    # consumer of model/train machinery (ADVICE r3)
+    from .train.step import _global_desc, _has_local_fields
+
     if with_local and not _has_local_fields(model):
         raise ValueError(
             f"{type(model).__name__} exposes no local descriptors; "

@@ -90,7 +90,11 @@ class TestExportRoundtrip:
         serving.save_artifact(exported, path)
         fwd, _ = serving.load_artifact(path)
         bad = jnp.asarray(rng.rand(3, 128, 3), jnp.float32)
-        with pytest.raises(Exception):
+        # jax.export raises ValueError("Shape mismatch ...") for a
+        # shape the artifact wasn't traced with (narrowed from bare
+        # Exception per ADVICE r3 — an I/O or import error must not
+        # satisfy this test)
+        with pytest.raises((ValueError, TypeError), match="[Ss]hape"):
             fwd(bad)
 
     def test_local_export_rejects_models_without_locals(self):
