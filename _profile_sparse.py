@@ -53,7 +53,7 @@ def timed(fn, *args):
 
 def main():
     _backend_watchdog()
-    global jax
+    global jax, jnp
     import jax
     import jax.numpy as jnp
     import numpy as np

@@ -278,35 +278,6 @@ def downsample_with_ranks(
     )
 
 
-def down_routes_from_ranks(
-    parent_rank: jax.Array, fine: VoxelTable, fine_dims: Dims, vc: int
-) -> "Routes":
-    """Kernel-2 stride-2 children :class:`Routes` directly from parent
-    ranks — the down map is the INVERSE of the downsample (each fine
-    site lands in exactly one (coarse site, kernel tap) cell), so it is
-    one V-element scatter instead of a 4V-query rank merge.
-
-    Tap order matches :func:`_zrun_down_queries`/dense kernels:
-    ``(qa*2 + qb)*2 + qz`` with q = fine coord mod 2. Anchor = smallest
-    present child slot per xy column (the two children of a column are
-    CONSECUTIVE fine slots when both present — their keys differ by 1),
-    0 when absent (cannot spuriously match ``anchor + r == V``)."""
-    b, v = fine.keys.shape
-    coords = decompose_keys(fine.keys, fine_dims)
-    q = coords % 2
-    tap = (q[..., 0] * 2 + q[..., 1]) * 2 + q[..., 2]
-    pos = jnp.where(fine.mask, parent_rank * 8 + tap, vc * 8)
-    fidx = jnp.broadcast_to(jnp.arange(v, dtype=jnp.int32), (b, v))
-    src = jnp.full((b, vc * 8), v, jnp.int32)
-    src = jax.vmap(lambda s, pp, ff: s.at[pp].set(ff, mode="drop"))(
-        src, pos, fidx
-    )
-    src = src.reshape(b, vc, 4, 2)
-    mn = jnp.min(src, axis=-1)
-    anchor = jnp.where(mn == v, 0, jnp.clip(mn, 0, v - 1))
-    return Routes(src=src.reshape(b, vc, 8), anchor=anchor)
-
-
 def upsample_from_ranks(
     parent_rank: jax.Array, fine: VoxelTable, fine_dims: Dims, vc: int
 ) -> Tuple[jax.Array, jax.Array]:
@@ -614,9 +585,19 @@ def build_pyramid(
     for _ in range(num_levels):
         coarse, cdims, prank = downsample_with_ranks(tables[-1], all_dims[-1])
         parent_ranks.append(prank)
+        # Down routes go through the rank-lookup z-run path, NOT
+        # :func:`down_routes_from_ranks`: the scatter there materialises
+        # ``src`` as a (B, Vc, 4, 2) buffer whose per-(o, z) minor-dim
+        # slices in the conv compile to serialised kLoop fusions on TPU
+        # (~32 ms EACH at the reference config — the round-4 composed-
+        # forward trace; four of them cost more than the entire FPN).
+        # The z-run resolve stays elementwise-fusable into its consumer,
+        # and the extra (V + 4V)-query merge is ~1 ms/level.
         down_routes.append(
-            down_routes_from_ranks(
-                prank, tables[-1], all_dims[-1], coarse.keys.shape[1]
+            routes_from_zmap(
+                tables[-1].keys,
+                zrun_down_map(coarse, cdims, tables[-1], all_dims[-1]),
+                0,
             )
         )
         tables.append(coarse)
@@ -896,13 +877,26 @@ class SparseConv(nn.Module):
             _g = gather
         out = None
         for o in range(kxy):
-            g = _g(ext, anchor[..., o])                       # (B, V, L*C)
+            if self.stride == 1 and o == kxy // 2:
+                # centre column: its queries are the table keys
+                # themselves, so the anchor is the row index — the
+                # gather is the identity. Skipping it drops 1/Kxy of
+                # the conv's gather traffic (the dominant HBM consumer)
+                # exactly: on invalid slots the routed window rows
+                # differ from the clipped-rank oracle's only where both
+                # are zero-padded (src == V can only match at the
+                # anchor+1 edge, which reads the zero row either way).
+                g = ext
+                anc = jax.lax.broadcasted_iota(jnp.int32, (b, v), 1)
+            else:
+                g = _g(ext, anchor[..., o])                   # (B, V, L*C)
+                anc = anchor[..., o]
             sels = []
             for z in range(l):
                 dz = z - h0
                 sel = None
                 for r in range(min(h0, h0 + dz), max(h0, h0 + dz) + 1):
-                    m = (src3[..., o, z] == anchor[..., o] + (r - h0))
+                    m = (src3[..., o, z] == anc + (r - h0))
                     t = g[..., r * cin : (r + 1) * cin] * m[..., None].astype(
                         feats.dtype
                     )
