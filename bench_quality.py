@@ -1,15 +1,31 @@
-"""On-TPU recall-lift evidence: noise-hardened synthetic scene at the
-full reference config (4096-pt clouds, quadruplet + patch losses).
+"""On-TPU recall-lift evidence per model family: noise-hardened
+synthetic scene at the full reference config (4096-pt clouds).
 
-Run on the real chip: ``python bench_quality.py`` (~8 min: one eval
-compile + 12 epochs x 24 steps at ~6-9 s/epoch). Measured round 2:
-random-init recall@1 25.0 -> trained 97.9 after 288 steps (100.0 in a
-run without the epoch-10 LR decay) — the training loop LEARNS on
-hardware, complementing the CPU-mesh quality tests
-(tests/test_train.py::TestTrainingQuality) and the easy-scene CLI
-pipeline run recorded in BASELINE.md."""
+Run on the real chip: ``python bench_quality.py [--model_type X]``
+(~8 min each: one eval compile + 12 epochs x 24 steps).
+
+Every CPU-invisible on-chip bug this repo found (f32 denormal flush,
+bf16 ranking shuffles) was caught only by running the real thing, so
+each family gets its own on-chip training run (VERDICT r3 #4), not just
+the CPU-mesh quality tests (tests/test_train.py::TestTrainingQuality):
+
+  patch_aug_net  quadruplet + patch losses. Round 2: 25.0 -> 97.9
+                 recall@1 after 288 steps (100.0 without the epoch-10
+                 LR decay).
+  pptnet         4-level SA backbone + grouped attention + 4-scale
+                 SPVLAD under training on real hardware.
+  pointnet_vlad  STN + conv stack + NetVLAD loupe head.
+  (minkloc3dv2's on-chip evidence lives in _verify_sparse_tpu.py's
+  SmoothAP run: 31.2 -> 81.2.)
+"""
+import argparse
 import os, sys, time
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from bench_models import _backend_watchdog  # noqa: E402
+
+_backend_watchdog()
+
 import numpy as np
 import jax
 jax.config.update("jax_default_matmul_precision", "float32")
@@ -18,30 +34,69 @@ from __graft_entry__ import FULL_PARAM
 from patchaugnet_tpu import data, train
 from patchaugnet_tpu.models import get_model
 
-cfg = dict(
-    FULL_PARAM,
+COMMON = dict(
     TRAIN_BATCH_SIZE=2, TRAIN_POSITIVES_PER_QUERY=2,
     TRAIN_NEGATIVES_PER_QUERY=6,
     BASE_LEARNING_RATE=5e-4, MOMENTUM=0.9, OPTIMIZER="adam",
     MAX_EPOCH=12, LEARNING_RATE_DECAY="step", MARGIN_1=0.5, MARGIN_2=0.2,
     LOSS_FUNCTION="quadruplet", LOSS_LAZY=True,
     TRIPLET_USE_BEST_POSITIVES=False, LOSS_IGNORE_ZERO_BATCH=False,
-    A2B_MAX_ROWS=2048, A2B_MAX_PAIRS=16,
-    use_hard_negative_patch_mining=True,
 )
 
+# scale: pptnet's multi-scale features give unusually high random-init
+# recall at mild noise (same observation as tests/test_train.py), so it
+# is hardened harder.
+FAMILIES = {
+    "patch_aug_net": dict(
+        cfg=dict(
+            FULL_PARAM, **COMMON,
+            A2B_MAX_ROWS=2048, A2B_MAX_PAIRS=16,
+            use_hard_negative_patch_mining=True,
+        ),
+        init_kwargs={"with_patches": True},
+        with_center=True, scale=0.35,
+    ),
+    "pptnet": dict(
+        cfg=dict(
+            COMMON,
+            model_type="pptnet", NUM_POINTS=4096, GROUP=8,
+            AGGREGATION="spvlad", FEATURE_OUTPUT_DIM=256,
+            FEATURE_SIZE=[256, 256, 256, 256],
+            MAX_SAMPLES=[64, 256, 1024, 4096],
+            CLUSTER_SIZE=[1, 4, 16, 64],
+            OUTPUT_DIM=[256, 256, 256, 256], GATING=True,
+            SAMPLING=[1024, 256, 64, 16], KNN=[20, 20, 20, 20],
+            use_patch_recon=False, use_patch_feature_contrast=False,
+            use_hard_negative_patch_mining=False,
+        ),
+        init_kwargs=None, with_center=False, scale=0.9,
+    ),
+    "pointnet_vlad": dict(
+        cfg=dict(
+            COMMON,
+            model_type="pointnet_vlad", NUM_POINTS=4096,
+            GLOBAL_FEAT=True, FEATURE_TRANSFORM=True, MAX_POOL=False,
+            GROUP=8, FEATURE_OUTPUT_DIM=256,
+            use_patch_recon=False, use_patch_feature_contrast=False,
+            use_hard_negative_patch_mining=False,
+        ),
+        init_kwargs=None, with_center=False, scale=0.35,
+    ),
+}
 
-def make_ds(for_training):
+
+def make_ds(cfg, for_training, scale):
     pr = data.PlaceRecognitionDataset(
         "synthetic", for_training,
         num_pos=cfg["TRAIN_POSITIVES_PER_QUERY"],
         num_neg=cfg["TRAIN_NEGATIVES_PER_QUERY"],
-        load_overlap_indices=True,
+        load_overlap_indices=cfg.get("use_hard_negative_patch_mining", False)
+        or cfg.get("use_patch_feature_contrast", False),
     )
     pr.scene.create_synthetic(n_trips=2, n_per_trip=24, num_points=4096)
     r = np.random.RandomState(7)
     pr.scene._clouds = pr.scene._clouds + (
-        r.randn(*pr.scene._clouds.shape).astype(np.float32) * 0.35
+        r.randn(*pr.scene._clouds.shape).astype(np.float32) * scale
     )
     pr.scene._pc_cache.clear()
     pr.scene._pc_order.clear()
@@ -49,27 +104,41 @@ def make_ds(for_training):
 
 
 def main():
-    train_ds, test_ds = make_ds(True), make_ds(False)
-    model = get_model("patch_aug_net", cfg)
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--model_type", default="patch_aug_net",
+                    choices=sorted(FAMILIES))
+    ap.add_argument("--precision", default="float32",
+                    choices=["float32", "bfloat16"])
+    args = ap.parse_args()
+    fam = FAMILIES[args.model_type]
+    cfg = dict(fam["cfg"])
+    if args.precision != "float32":
+        cfg["COMPUTE_DTYPE"] = args.precision
+
+    train_ds = make_ds(cfg, True, fam["scale"])
+    test_ds = make_ds(cfg, False, fam["scale"])
+    model = get_model(args.model_type, cfg)
     tuple_size = 1 + cfg["TRAIN_POSITIVES_PER_QUERY"] + cfg["TRAIN_NEGATIVES_PER_QUERY"] + 1
     x = jnp.zeros((cfg["TRAIN_BATCH_SIZE"] * tuple_size, 4096, 3))
     state = train.create_train_state(
-        model, jax.random.PRNGKey(0), x, cfg, init_kwargs={"with_patches": True},
+        model, jax.random.PRNGKey(0), x, cfg,
+        init_kwargs=fam["init_kwargs"],
         steps_per_epoch=24,  # 48 queries / 2 tuples: step decay fires at epoch 10
     )
     forward = train.build_forward_fn(model, cfg)
-
 
     def recall1(state):
         out = train.evaluate(state.variables, forward, test_ds, top_k=5, batch_size=12)
         return out.get("recall_at_1", 0.0)
 
-
     t0 = time.perf_counter()
     r_init = recall1(state)
-    print(f"init recall@1 {r_init:.1f} ({time.perf_counter()-t0:.0f}s)", flush=True)
+    print(f"{args.model_type}: init recall@1 {r_init:.1f} "
+          f"({time.perf_counter()-t0:.0f}s)", flush=True)
     step = train.build_train_step(model, cfg)
-    center_fn = train.build_center_fn(cfg["SAMPLING"][0])
+    center_fn = (
+        train.build_center_fn(cfg["SAMPLING"][0]) if fam["with_center"] else None
+    )
     for epoch in range(12):
         t0 = time.perf_counter()
         s = train.train_one_epoch(
@@ -82,7 +151,8 @@ def main():
             flush=True,
         )
     r_final = recall1(state)
-    print(f"TRAINED recall@1 {r_final:.1f} (init {r_init:.1f})", flush=True)
+    print(f"{args.model_type}: TRAINED recall@1 {r_final:.1f} "
+          f"(init {r_init:.1f})", flush=True)
 
 
 if __name__ == "__main__":
