@@ -1098,15 +1098,18 @@ class SparseTConv(nn.Module):
         )
         w = kernel.reshape(8, cin, self.features).astype(coarse_feats.dtype)
         parent = gather(coarse_feats, up_idx[..., 0])          # (B, V, Cin)
-        out = None
-        for o in range(8):
-            term = jnp.einsum(
-                "bvc,cd->bvd",
-                parent * up_valid[..., o, None].astype(parent.dtype),
-                w[o],
-                preferred_element_type=jnp.float32,
-            )
-            out = term if out is None else out + term
+        # ONE (Cin -> 8*Cout) matmul, then a masked slice-select: each
+        # fine site has at most one valid kernel slot, so the old
+        # 8x masked-operand einsums (8 accumulation passes over
+        # (B, V, Cout) partials) collapse into one MXU call + a select.
+        # Bit-exact: every output element is the same dot over Cin
+        # (per-o weight columns are independent in the wide matmul).
+        s = jnp.einsum(
+            "bvc,ocd->bvod", parent, w, preferred_element_type=jnp.float32
+        )
+        out = jnp.sum(
+            s * up_valid[..., None].astype(s.dtype), axis=2
+        )
         return out.astype(coarse_feats.dtype)
 
 
