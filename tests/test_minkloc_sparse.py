@@ -199,6 +199,59 @@ class TestZRunClipEdge:
         assert found_np[4, q_edge] and idx_np[4, q_edge] == 5
 
 
+class TestPairRankMerge:
+    def test_lookup_rank_pairs_matches_lookup_rank(self, rng):
+        """Both signs of every offset from ONE merge must equal the
+        direct lookup_rank of keys ± c (round-4 map build)."""
+        pts = rng.rand(3, 400, 3).astype(np.float32) * 2 - 1
+        coords, valid, dims = ms.quantize_cartesian(jnp.asarray(pts), 0.05)
+        t = ms.build_table(coords, valid, dims)
+        coffs = jnp.asarray([1, 7, dims[2], dims[1] * dims[2] + 3], jnp.int32)
+        fwd, rev = ms.lookup_rank_pairs(t.keys, coffs)
+        for p, c in enumerate(np.asarray(coffs)):
+            for sign, got in ((1, fwd[:, p]), (-1, rev[:, p])):
+                q = jnp.where(
+                    t.keys != ms.SENTINEL, t.keys + sign * int(c), ms.SENTINEL
+                )
+                want, _ = ms.lookup_rank(t.keys, q, with_found=False)
+                # padding slots carry arithmetic ranks in the pair path
+                # (routing masks them); compare valid slots only
+                m = np.asarray(t.mask)
+                np.testing.assert_array_equal(
+                    np.asarray(got)[m], np.asarray(want)[m]
+                )
+
+    def test_downsample_with_ranks_matches_downsample_table(self, rng):
+        pts = rng.rand(2, 500, 3).astype(np.float32) * 2 - 1
+        coords, valid, dims = ms.quantize_cartesian(jnp.asarray(pts), 0.03)
+        t = ms.build_table(coords, valid, dims)
+        coarse, cdims, prank = ms.downsample_with_ranks(t, dims)
+        want, wdims = ms.downsample_table(t, dims)
+        assert cdims == wdims
+        np.testing.assert_array_equal(np.asarray(coarse.keys), np.asarray(want.keys))
+        # every valid fine site's parent rank points at its halved key
+        ck = np.asarray(coarse.keys)
+        fine_coords = np.asarray(ms.decompose_keys(t.keys, dims))
+        pk = np.asarray(ms.compose_keys(jnp.asarray(fine_coords) // 2, cdims))
+        m = np.asarray(t.mask)
+        pr = np.asarray(prank)
+        for b in range(pr.shape[0]):
+            np.testing.assert_array_equal(ck[b][pr[b][m[b]]], pk[b][m[b]])
+
+    def test_upsample_from_ranks_matches_parent_table(self, rng):
+        pts = rng.rand(2, 500, 3).astype(np.float32) * 2 - 1
+        coords, valid, dims = ms.quantize_cartesian(jnp.asarray(pts), 0.03)
+        t = ms.build_table(coords, valid, dims)
+        coarse, cdims, prank = ms.downsample_with_ranks(t, dims)
+        idx, vmask = ms.upsample_from_ranks(
+            prank, t, dims, coarse.keys.shape[1]
+        )
+        widx, wmask = ms.upsample_parent_table(t, dims, coarse)
+        np.testing.assert_array_equal(np.asarray(vmask), np.asarray(wmask))
+        m = np.asarray(wmask)
+        np.testing.assert_array_equal(np.asarray(idx)[m], np.asarray(widx)[m])
+
+
 class TestFusedPyramidLookups:
     def test_build_pyramid_matches_standalone_maps(self, rng):
         """build_pyramid merges each table's stride-1 and stride-2
