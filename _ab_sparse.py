@@ -22,6 +22,7 @@ HERE = os.path.dirname(os.path.abspath(__file__))
 VARIANTS = {
     "zrun": {},
     "zrun+raw": {"PCR_SPARSE_CONV_GATHER": "raw"},
+    "zrun_split": {"PCR_SPARSE_CONV": "zrun_split"},
     "im2col": {"PCR_SPARSE_CONV": "im2col"},
 }
 

@@ -902,12 +902,33 @@ class SparseConv(nn.Module):
                     )
                     sel = t if sel is None else sel + t
                 sels.append(sel)
-            term = jnp.einsum(
-                "bvc,cd->bvd",
-                jnp.concatenate(sels, axis=-1),
-                w[o],
-                preferred_element_type=jnp.float32,
-            )
+            if _os.environ.get("PCR_SPARSE_CONV") == "zrun_split":
+                # A/B formulation: per-z dots (the same FLOPs) instead
+                # of one (L*C)-wide dot — the hypothesis was that the
+                # sels CONCATENATE blocks operand fusion. MEASURED
+                # NEGATIVE (round 4, v5e): 103.7 desc/s vs 158.6 for
+                # the wide dot (-35%: three dot outputs accumulate
+                # through HBM), and NOT bit-exact on-chip (2.3e-9 —
+                # (d0+d1)+d2 groups f32 differently than one L*C
+                # contraction on the MXU, though XLA-CPU groups them
+                # identically). Kept as a measured A/B knob only.
+                wz = kernel.reshape(kxy, l, cin, self.features)
+                term = None
+                for z in range(l):
+                    tz = jnp.einsum(
+                        "bvc,cd->bvd",
+                        sels[z],
+                        wz[o, z].astype(feats.dtype),
+                        preferred_element_type=jnp.float32,
+                    )
+                    term = tz if term is None else term + tz
+            else:
+                term = jnp.einsum(
+                    "bvc,cd->bvd",
+                    jnp.concatenate(sels, axis=-1),
+                    w[o],
+                    preferred_element_type=jnp.float32,
+                )
             out = term if out is None else out + term
         return out.astype(feats.dtype)
 
