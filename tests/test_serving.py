@@ -106,6 +106,27 @@ class TestExportRoundtrip:
                 model, variables, 2, 256, with_local=True
             )
 
+    def test_minkloc_sparse_export_roundtrip(self, rng, tmp_path):
+        """The sparse voxel-table forward (sorts, rank merges, routed
+        gather convs) survives StableHLO export/reload byte-for-run:
+        a serving host replays the exact table machinery."""
+        from patchaugnet_tpu.models.minkloc_sparse import MinkLocSparse
+
+        model = MinkLocSparse(
+            feature_size=32, output_dim=16, planes=(8, 8, 8, 8),
+            num_top_down=2, conv0_kernel_size=5, quantization_step=0.05,
+        )
+        clouds = jnp.asarray(rng.rand(2, 128, 3) * 2 - 1, jnp.float32)
+        variables = jax.jit(model.init)(jax.random.PRNGKey(0), clouds)
+        exported = serving.export_descriptor_fn(model, variables, 2, 128)
+        path = str(tmp_path / "mls.shlo")
+        serving.save_artifact(exported, path, {"model_type": "minkloc3dv2"})
+        fwd, meta = serving.load_artifact(path)
+        assert meta["model_type"] == "minkloc3dv2"
+        want = np.asarray(model.apply(variables, clouds, train=False))
+        np.testing.assert_allclose(np.asarray(fwd(clouds)), want,
+                                   atol=2e-6, rtol=1e-5)
+
     def test_missing_sidecar_yields_empty_meta(self, rng, tmp_path):
         model = get_model("pointnet_vlad", PNV_PARAM)
         clouds = jnp.asarray(rng.rand(2, 256, 3), jnp.float32)
