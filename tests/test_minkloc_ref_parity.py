@@ -119,6 +119,48 @@ def test_minkloc_full_forward_parity():
 
 
 @pytest.mark.slow
+def test_minkloc_full_forward_parity_polar():
+    """Same full-forward diff under the reference's POLAR quantizer
+    (misc/quantization.py:14-37 — the params-default coordinate mode;
+    the shipped minkloc3dv2.txt uses cartesian). The net is
+    quantizer-agnostic, so this exercises quantize_polar's
+    floor/shift semantics through the whole pyramid."""
+    import torch
+
+    mf, ml, eca, pw, qz = _load_ref()
+    net = _build_ref_net(mf, ml, eca, pw)
+
+    from patchaugnet_tpu.compat.torch_loader import convert_minkloc3dv2
+    from patchaugnet_tpu.models.minkloc_sparse import MinkLocSparse
+
+    variables, _ = convert_minkloc3dv2(
+        {k: v.numpy() for k, v in net.state_dict().items()}
+    )
+
+    steps = (5.0, 0.1, 0.1)          # sector deg, ring m, z m
+    clouds = _clouds()
+    quantizer = qz.PolarQuantizer(quant_step=list(steps))
+    ref_descs = []
+    with torch.no_grad():
+        for pc in clouds:
+            coords, _ = quantizer(torch.from_numpy(pc))
+            bcoords = ref_minkowski_shim.batched_coordinates([coords])
+            feats = torch.ones((bcoords.shape[0], 1), dtype=torch.float32)
+            d = net({"coords": bcoords, "features": feats})
+            ref_descs.append(d.numpy().reshape(-1))
+    ref_descs = np.stack(ref_descs)
+
+    model = MinkLocSparse(coordinates="polar", quantization_step=steps)
+    ours = np.asarray(model.apply(variables, jnp.asarray(clouds), train=False))
+
+    cos = (ref_descs * ours).sum(-1) / (
+        np.linalg.norm(ref_descs, axis=-1) * np.linalg.norm(ours, axis=-1)
+    )
+    err = np.abs(ref_descs - ours).max()
+    assert err < 2e-3 and cos.min() > 0.999999, (err, cos)
+
+
+@pytest.mark.slow
 def test_minkloc_pyramid_coordinate_parity():
     """Occupied coordinate sets per pyramid level match ME's stride
     maps exactly (translation-corrected)."""
