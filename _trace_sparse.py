@@ -14,7 +14,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from bench_models import _backend_watchdog  # noqa: E402
 
-OUT = "/tmp/sparse_trace"
+OUT = "profiles/sparse_fwd"
 
 
 def main():
