@@ -120,3 +120,32 @@ def test_cli_resume_continues_training(tmp_path):
     assert os.path.exists(
         os.path.join(exp, "patch_aug_net", "saved_model", "train_epoch_1_end")
     )
+
+
+@pytest.mark.slow
+def test_minkloc_cli_train_eval_smoke(tmp_path):
+    """The MinkLoc3Dv2 family's CLI path (SmoothAP epoch + batch-hard
+    mining + recall eval through the sparse voxel-table backend) runs
+    end to end from configs/minkloc3dv2.yaml — the one family whose
+    train.py path had no CLI-level test (round 4)."""
+    exp = str(tmp_path / "exp_mlk")
+    env = dict(os.environ)
+    env.pop("PYTHONPATH", None)
+    env["JAX_PLATFORMS"] = "cpu"
+    proc = subprocess.run(
+        [
+            sys.executable, "train.py", "--config",
+            os.path.join(REPO, "configs/minkloc3dv2.yaml"),
+            "--dataset", "synthetic", "--platform", "cpu",
+            "--devices", "1", "--epochs", "1", "--max-batches", "2",
+            "--exp_dir", exp, "--num-points", "512",
+        ],
+        cwd=REPO, env=env, capture_output=True, text=True, timeout=900,
+    )
+    assert proc.returncode == 0, proc.stderr[-4000:]
+    logs = proc.stdout + proc.stderr
+    assert "SmoothAP" in logs
+    assert "Average Recall @1:" in logs
+    assert os.path.exists(
+        os.path.join(exp, "minkloc3dv2", "saved_model", "train_epoch_0_end")
+    ), logs[-2000:]
