@@ -630,7 +630,8 @@ def build_pyramid(
                 cols.append(fwd[:, o - center - 1])
         anchor = jnp.clip(jnp.stack(cols, axis=-1), 0, v - 1)
         routes = routes_from_zmap(
-            t.keys, ZRunMap(anchor=anchor, qc=qc, z_ok=z_ok), h0
+            t.keys, ZRunMap(anchor=anchor, qc=qc, z_ok=z_ok), h0,
+            identity_col=center,
         )
         if i == 0:
             conv0_routes = routes
@@ -656,7 +657,12 @@ def build_pyramid(
 
 
 # ---------------------------------------------------------- conv core
-def routes_from_zmap(keys: jax.Array, zmap: ZRunMap, h0: int) -> "Routes":
+def routes_from_zmap(
+    keys: jax.Array,
+    zmap: ZRunMap,
+    h0: int,
+    identity_col: Optional[int] = None,
+) -> "Routes":
     """Resolve a :class:`ZRunMap` into a :class:`Routes` table.
 
     ``src (B, V, Kxy*L) int32``: for output site ``v`` and kernel
@@ -715,7 +721,28 @@ def routes_from_zmap(keys: jax.Array, zmap: ZRunMap, h0: int) -> "Routes":
             sh = keys
         cols.append(sh)
     kwin = jnp.stack(cols, axis=-1)                           # (B, V, L)
-    g = gather(kwin, zmap.anchor.reshape(b, v * kxy)).reshape(b, v, kxy, l)
+    if identity_col is None:
+        g = gather(kwin, zmap.anchor.reshape(b, v * kxy)).reshape(b, v, kxy, l)
+    else:
+        # Stride-1 maps: the centre xy column's anchor is the row index
+        # itself (build_pyramid stacks ``iota`` there, and the clip is
+        # the identity on it), so its window gather returns ``kwin``
+        # verbatim — splice it in and gather only the other Kxy-1
+        # columns. Exact by construction; saves 1/Kxy of the resolve's
+        # gather rows (the same identity-skip the conv applies to its
+        # feature windows).
+        others = [o for o in range(kxy) if o != identity_col]
+        g_o = gather(
+            kwin, zmap.anchor[..., others].reshape(b, v * (kxy - 1))
+        ).reshape(b, v, kxy - 1, l)
+        g = jnp.concatenate(
+            [
+                g_o[:, :, :identity_col],
+                kwin[:, :, None, :],
+                g_o[:, :, identity_col:],
+            ],
+            axis=2,
+        )
     # column validity: SENTINEL + dz wraps out of the key range for
     # dz != 0, but dz == 0 leaves e == SENTINEL, which EQUALS the
     # SENTINEL-padded window keys whenever the anchor lands in the
