@@ -57,11 +57,12 @@ def emd_loss(
     """mean over clouds of mean per-point euclidean EMD distance
     (pointnetvlad_loss.py:218-221).
 
-    COST WARNING: the auction runs ``iters`` sequential device sweeps —
-    ~1.4 s warm per (4, 4096)-point call at the reference eps/iters on
-    a v5e, vs ~112 ms for a FULL train step with chamfer losses.
+    COST WARNING: the auction runs ``iters`` sequential device rounds —
+    ~0.69 s warm per (4, 4096)-point call at the reference eps/iters on
+    a v5e (round 4's price-fused sweep + active-set tail, exact; was
+    1.4 s), vs ~112 ms for a FULL train step with chamfer losses.
     Selecting ``emd_loss``/``patch_emd_loss`` as the reconstruction
-    loss slows training ~13x; the reference default is chamfer
+    loss slows training ~7x; the reference default is chamfer
     (train_place_recognition.py uses chamfer_loss), which this
     framework keeps as its practical default. See README "EMD cost
     cliff"."""

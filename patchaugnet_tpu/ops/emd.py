@@ -34,12 +34,28 @@ only in chunks (bit-match tested).
 
 Speed: the top-2 sweep runs through the Pallas min-extraction kernel on
 TPU (``lax.top_k`` lowers to a full per-row bitonic sort every auction
-iteration): (4, 4096, 3) clouds at the reference eps=0.02/iters=1024
-take 1.4 s warm on v5e vs 37.5 s through ``top_k``, with identical
-assignment quality (>=4088/4096 unique, same mean distance).
+iteration): 37.5 s -> 1.4 s warm for (4, 4096, 3) clouds at the
+reference eps=0.02/iters=1024 on v5e, with identical assignment
+quality (>=4088/4096 unique, same mean distance). Round 4 attributed
+the remaining 1.4 s on-chip (``_probe_emd.py``): the loop runs its
+full 1024 iterations (the unassigned count collapses to <256 within
+~10 iterations, then ~1000 rebidding rounds for a shrinking tail — 23
+columns still unassigned at exit), so full-width sweeps do ~150x
+redundant row work (``_study_auction.py``). Two exact optimisations
+landed: (1) the price-fused sweep (``PCR_EMD_SWEEP``) keeps the
+iteration-invariant ``dist - 3.0`` base resident in HBM and adds the
+price row in-kernel, and (2) the active-set tail (``PCR_EMD_ACTIVE``)
+switches — once every batch element has <= R unassigned rows — to
+gathering exactly those rows and sweeping/updating only them.
+Bit-identical assignments in all modes (tested interpret-mode and
+on-chip); 1.43 s -> **0.69 s** warm at the reference workload. The
+residual is the per-iteration update/compaction machinery at the
+(b, n) scatter floor — a sequential ~0.67 ms/iteration times however
+many rounds the price war needs.
 """
 from __future__ import annotations
 
+import os
 from functools import partial
 from typing import Optional, Tuple
 
@@ -51,6 +67,11 @@ from .pairwise import pairwise_sqdist
 
 _NEG = -1e9
 _VALUE_BUDGET = 32 * 1024 * 1024      # floats live in the value sweep
+# precomputed (b, n, n) negated value base resident in HBM for the
+# price-fused sweep; v5e has 16 GB — 2 GB of base leaves everything
+# else untouched while covering the reference call sites many times
+# over ((4, 4096) clouds = 268 MB)
+_BASE_BUDGET_BYTES = 2 * 1024 * 1024 * 1024
 
 
 def _pick_row_chunk(b: int, n: int) -> int:
@@ -63,6 +84,18 @@ def _pick_row_chunk(b: int, n: int) -> int:
         if n % c == 0 and b * c * n <= _VALUE_BUDGET:
             return c
     return 1
+
+
+def _price_sweep_block(n: int) -> Optional[int]:
+    """Query-block for the price-fused sweep: the largest multiple of 8
+    (<=256) dividing ``n`` whose flat (qb, n) f32 tile fits the
+    extraction kernel's VMEM budget; None disables the fused path."""
+    from .pallas.knn import _VMEM_TILE_BUDGET
+
+    for qb in range(256, 7, -8):
+        if n % qb == 0 and qb * n <= _VMEM_TILE_BUDGET:
+            return qb
+    return None
 
 
 def _top2_desc(value, use_pallas: bool, interpret: bool = False):
@@ -119,6 +152,24 @@ def _auction(
     use_pallas = (
         pallas.on_tpu() and n >= 256 and rows_per_sweep >= 8
     )
+    # Price-fused sweep (PCR_EMD_SWEEP=auto|fused|chunked): the value
+    # base ``dist - 3.0`` never changes across auction iterations —
+    # precompute it once in HBM and let the extraction kernel add the
+    # price row in VMEM. Halves per-iteration HBM traffic (no value
+    # materialisation round-trip) and drops the per-iteration distance
+    # recompute entirely. Bit-identical to the chunked sweep: the same
+    # f32 ``base + price`` add, the same extraction semantics
+    # (tests/test_pallas.py; on-chip A/B in _verify_serving_tpu-style
+    # probes). ``fused`` forces it past the base budget; ``chunked``
+    # restores the round-3 recompute path.
+    sweep_mode = os.environ.get("PCR_EMD_SWEEP", "auto")
+    fused_qb = _price_sweep_block(n)
+    use_fused = (
+        use_pallas
+        and sweep_mode != "chunked"
+        and fused_qb is not None
+        and (sweep_mode == "fused" or 4 * b * n * n <= _BASE_BUDGET_BYTES)
+    )
 
     def top2_desc(value):
         return _top2_desc(value, use_pallas)
@@ -131,7 +182,15 @@ def _auction(
         # distances every auction iteration)
         return jnp.sqrt(pairwise_sqdist(x1c, xyz2))
 
-    if chunked:
+    if use_fused:
+        from .pallas.knn import topk_extract_price_pallas
+
+        neg_base = chunk_dist(xyz1) - 3.0                  # == -(3 - dist)
+
+        def top2_sweep(price):
+            idx, neg = topk_extract_price_pallas(neg_base, price, 2, fused_qb)
+            return -neg, idx
+    elif chunked:
         # row-chunked scan: recompute distances per chunk, never hold
         # the full (b, n, n) value matrix
         x1_chunks = jnp.moveaxis(
@@ -158,19 +217,39 @@ def _auction(
     rows = jnp.arange(n, dtype=jnp.int32)
     batch = jnp.arange(b)[:, None]
 
-    def cond(state):
-        i, assignment, _, _ = state
-        return jnp.logical_and(i < iters, jnp.any(assignment < 0))
+    # Active-set tail (PCR_EMD_ACTIVE=auto|off): the on-chip round-4
+    # attribution probe showed the reference-parameter auction
+    # (n=4096, eps=0.02) nets ~4 assignments per 1024 full-width Jacobi
+    # iterations — the unassigned count collapses to <256 within ~10
+    # iterations and the remaining ~1000 iterations sweep 4096 rows to
+    # rebid for <100 (numpy trajectory study `_study_auction.py`:
+    # 28k useful row-sweeps vs 4.19M performed, 150x redundancy). Once
+    # EVERY batch element has <= R unassigned rows, the body gathers
+    # exactly those rows from the resident value base and sweeps only
+    # them. Bit-identical to the full-width body by construction: the
+    # bidder set is identical (assigned rows contribute ``_NEG`` bids in
+    # the full path), each gathered row's value/top-2/increment
+    # arithmetic is the same f32 computation on the same operands, and
+    # the column scatter-max sees the same non-``_NEG`` contributions
+    # (equality tested interpret-mode and on-chip).
+    active_R = fused_qb if use_fused else None
+    use_active = (
+        use_fused
+        and os.environ.get("PCR_EMD_ACTIVE", "auto") != "off"
+        and active_R is not None
+        and n > active_R
+    )
 
-    def body(state):
-        i, assignment, assignment_inv, price = state
+    def step_full(assignment, assignment_inv, price):
         unass = assignment < 0                             # (b, n)
         top2, top2_i = top2_sweep(price)
         best, better = top2[..., 0], top2[..., 1]
         best_i = top2_i[..., 0].astype(jnp.int32)          # (b, n)
         inc = jnp.where(unass, best - better + eps, _NEG)
         # Column winners via scatter-max (CUDA atomicMax in Bid).
-        winner_inc = jnp.full((b, n), _NEG, top2.dtype).at[batch, best_i].max(inc)
+        winner_inc = (
+            jnp.full((b, n), _NEG, jnp.float32).at[batch, best_i].max(inc)
+        )
         has_winner = winner_inc > _NEG / 2
         # Winning row per column: any row whose inc equals the max (GetMax).
         is_winner_row = jnp.logical_and(unass, inc >= winner_inc[batch, best_i])
@@ -197,6 +276,86 @@ def _auction(
         )
         assignment_inv = jnp.where(has_winner, winner_row, assignment_inv)
         price = jnp.where(has_winner, price + winner_inc, price)
+        return assignment, assignment_inv, price
+
+    def step_active(assignment, assignment_inv, price):
+        r = active_R
+        unass = assignment < 0                             # (b, n)
+        # compact the unassigned row ids (ascending) into R slots;
+        # padding slots keep the ``n`` sentinel
+        pos = jnp.cumsum(unass, axis=1) - 1                # (b, n) int
+        slot = jnp.where(
+            jnp.logical_and(unass, pos < r), pos, r
+        ).astype(jnp.int32)
+        ids = (
+            jnp.full((b, r + 1), n, jnp.int32)
+            .at[batch, slot]
+            .set(jnp.broadcast_to(rows[None, :], (b, n)))[:, :r]
+        )
+        valid = ids < n
+        safe_ids = jnp.minimum(ids, n - 1)
+        rows_g = jnp.take_along_axis(
+            neg_base, safe_ids[..., None], axis=1
+        )                                                   # (b, R, n)
+        idx, negv = topk_extract_price_pallas(rows_g, price, 2, r)
+        best, better = -negv[..., 0], -negv[..., 1]
+        best_i = idx[..., 0].astype(jnp.int32)              # (b, R)
+        inc = jnp.where(valid, best - better + eps, _NEG)
+        winner_inc = (
+            jnp.full((b, n), _NEG, jnp.float32).at[batch, best_i].max(inc)
+        )
+        has_winner = winner_inc > _NEG / 2
+        is_winner_row = jnp.logical_and(valid, inc >= winner_inc[batch, best_i])
+        winner_row = (
+            jnp.full((b, n), -1, jnp.int32)
+            .at[batch, best_i]
+            .max(jnp.where(is_winner_row, ids, -1))
+        )
+        # R-width update tail: every valid bid is >= eps > _NEG/2, so
+        # the set of winning columns is exactly the set of bid-for
+        # columns — evict/assign scatters need only touch the active
+        # rows' targets (duplicate writers carry identical values).
+        prev_owner = jnp.take_along_axis(assignment_inv, best_i, axis=1)
+        evict_rows = jnp.where(
+            jnp.logical_and(valid, prev_owner >= 0), prev_owner, n
+        )
+        assignment = (
+            jnp.concatenate([assignment, jnp.full((b, 1), -1, jnp.int32)], axis=1)
+            .at[batch, evict_rows]
+            .set(-1)[:, :n]
+        )
+        # the final winner of column best_i[r] is the row the
+        # scatter-max resolved; assign exactly those rows their column
+        is_final = jnp.logical_and(
+            valid, jnp.take_along_axis(winner_row, best_i, axis=1) == ids
+        )
+        assignment = (
+            jnp.concatenate([assignment, jnp.full((b, 1), -1, jnp.int32)], axis=1)
+            .at[batch, jnp.where(is_final, ids, n)]
+            .set(best_i)[:, :n]
+        )
+        assignment_inv = jnp.where(has_winner, winner_row, assignment_inv)
+        price = jnp.where(has_winner, price + winner_inc, price)
+        return assignment, assignment_inv, price
+
+    def cond(state):
+        i, assignment, _, _ = state
+        return jnp.logical_and(i < iters, jnp.any(assignment < 0))
+
+    def body(state):
+        i, assignment, assignment_inv, price = state
+        if use_active:
+            small = (
+                jnp.max(jnp.sum(assignment < 0, axis=1)) <= active_R
+            )
+            assignment, assignment_inv, price = jax.lax.cond(
+                small, step_active, step_full,
+                assignment, assignment_inv, price,
+            )
+        else:
+            assignment, assignment_inv, price = step_full(
+                assignment, assignment_inv, price
+            )
         return i + 1, assignment, assignment_inv, price
 
     state = (

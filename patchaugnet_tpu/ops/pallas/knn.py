@@ -81,6 +81,112 @@ def topk_extract_pallas(
     )(dist.astype(jnp.float32))
 
 
+def _extract_price_kernel(k, base_in, price_in, idx_ref, d2_ref, dist_ref):
+    """``_extract_kernel`` with the auction price folded in-kernel.
+
+    ``base_in`` is a (qb, n) tile of the iteration-invariant negated
+    value base (``dist - 3.0``); ``price_in`` is the (1, n) price row of
+    this batch element, broadcast over the qb sublanes. Computing
+    ``base + price`` here instead of in XLA means the (b, n, n) base
+    streams HBM->VMEM once per auction iteration with no materialised
+    ``value`` tensor round-trip (the price vector is the only thing that
+    changes between iterations).
+    """
+    qb, n = base_in.shape
+    dist_ref[:, :] = base_in[:, :] + price_in[:, :]
+    lane = jax.lax.broadcasted_iota(jnp.int32, (qb, n), 1)
+    col = jax.lax.broadcasted_iota(jnp.int32, (qb, k), 1)
+    idx_ref[:, :] = jnp.zeros((qb, k), jnp.int32)
+    d2_ref[:, :] = jnp.zeros((qb, k), jnp.float32)
+
+    def body(j, _):
+        d = dist_ref[:, :]
+        mn = jnp.min(d, axis=1, keepdims=True)              # (qb, 1)
+        sel = jnp.min(
+            jnp.where(d == mn, lane, jnp.int32(n)), axis=1, keepdims=True
+        ).astype(jnp.int32)
+        idx_ref[:, :] = jnp.where(col == j, sel, idx_ref[:, :])
+        d2_ref[:, :] = jnp.where(col == j, mn, d2_ref[:, :])
+        dist_ref[:, :] = jnp.where(lane == sel, jnp.float32(1e30), d)
+        return 0
+
+    jax.lax.fori_loop(0, k, body, 0)
+
+
+def _extract_price2_kernel(base_in, price_in, idx_ref, d2_ref):
+    """k=2 specialisation of :func:`_extract_price_kernel`.
+
+    The generic kernel costs ~8 full-tile VPU passes (scratch store,
+    two min+argmin sweeps, a masked write-back per extraction); the
+    on-chip EMD attribution probe (round 4) measured it VPU-bound at
+    3.4x the HBM streaming floor. For the auction's k=2 this collapses
+    to four reduction passes with no scratch traffic at all — the
+    masked ``1e30`` second extraction is computed as a value instead of
+    written back, with identical f32 arithmetic and the identical
+    lowest-index tie-break (``where(d == mn, lane, n)`` then min).
+    """
+    qb, n = base_in.shape
+    lane = jax.lax.broadcasted_iota(jnp.int32, (qb, n), 1)
+    col = jax.lax.broadcasted_iota(jnp.int32, (qb, 2), 1)
+    d = base_in[:, :] + price_in[:, :]
+    mn1 = jnp.min(d, axis=1, keepdims=True)                  # (qb, 1)
+    sel1 = jnp.min(
+        jnp.where(d == mn1, lane, jnp.int32(n)), axis=1, keepdims=True
+    ).astype(jnp.int32)
+    dm = jnp.where(lane == sel1, jnp.float32(1e30), d)
+    mn2 = jnp.min(dm, axis=1, keepdims=True)
+    sel2 = jnp.min(
+        jnp.where(dm == mn2, lane, jnp.int32(n)), axis=1, keepdims=True
+    ).astype(jnp.int32)
+    idx_ref[:, :] = jnp.where(col == 0, sel1, sel2)
+    d2_ref[:, :] = jnp.where(col == 0, mn1, mn2)
+
+
+@partial(jax.jit, static_argnums=(2, 3), static_argnames=("query_block", "interpret"))
+def topk_extract_price_pallas(
+    neg_base: jax.Array,
+    price: jax.Array,
+    k: int,
+    query_block: int = 256,
+    interpret: bool = False,
+):
+    """k smallest per row of ``neg_base + price[:, None, :]``.
+
+    ``neg_base``: (b, m, n) iteration-invariant term; ``price``: (b, n)
+    per-column offset. Returns ``(idx, val)`` of shape (b, m, k) with
+    the same ascending-value / lowest-index tie-break semantics as
+    ``topk_extract_pallas`` — bit-identical to extracting from the
+    materialised sum (the f32 add is performed identically, just in
+    VMEM). Built for the auction-EMD value sweep (ops/emd.py), where
+    re-materialising (b, n, n) values every iteration costs 2x the HBM
+    traffic of streaming the fixed base.
+    """
+    b, m, n = neg_base.shape
+    assert price.shape == (b, n), (price.shape, (b, n))
+    qb = min(query_block, m)
+    assert m % qb == 0, (m, qb)
+    spec = pl.BlockSpec((None, qb, n), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM)
+    pspec = pl.BlockSpec((None, 1, n), lambda i, j: (i, 0, 0), memory_space=pltpu.VMEM)
+    ospec = pl.BlockSpec((None, qb, k), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM)
+    if k == 2:
+        kernel, scratch = _extract_price2_kernel, []
+    else:
+        kernel = partial(_extract_price_kernel, k)
+        scratch = [pltpu.VMEM((qb, n), jnp.float32)]
+    return pl.pallas_call(
+        kernel,
+        grid=(b, m // qb),
+        in_specs=[spec, pspec],
+        out_specs=(ospec, ospec),
+        out_shape=(
+            jax.ShapeDtypeStruct((b, m, k), jnp.int32),
+            jax.ShapeDtypeStruct((b, m, k), jnp.float32),
+        ),
+        scratch_shapes=scratch,
+        interpret=interpret,
+    )(neg_base.astype(jnp.float32), price.astype(jnp.float32)[:, None, :])
+
+
 def topk_extract_chunked(
     dist: jax.Array,
     k: int,

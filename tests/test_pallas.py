@@ -89,6 +89,88 @@ class TestEMDTop2Routing:
             np.asarray(ref_v), np.asarray(got_v), atol=1e-6
         )
 
+    def test_price_fused_kernel_bit_matches_materialised(self, rng):
+        """The price-fused extraction (auction sweep fast path) must be
+        bit-identical to extracting from the materialised
+        ``base + price`` sum — same add, performed in VMEM."""
+        from patchaugnet_tpu.ops.pallas.knn import (
+            topk_extract_pallas,
+            topk_extract_price_pallas,
+        )
+
+        base = (rng.rand(2, 64, 512).astype(np.float32) - 0.5) * 4
+        base[:, :, ::5] = base[:, :, 1:2]                  # ties
+        price = rng.rand(2, 512).astype(np.float32) * 2
+        for k in (2, 3):                # k=2 lean kernel, k=3 generic loop
+            fi, fv = topk_extract_price_pallas(
+                jnp.asarray(base), jnp.asarray(price), k, query_block=64,
+                interpret=True,
+            )
+            mat = jnp.asarray(base) + jnp.asarray(price)[:, None, :]
+            ri, rv = topk_extract_pallas(mat, k, query_block=64, interpret=True)
+            np.testing.assert_array_equal(np.asarray(ri), np.asarray(fi))
+            np.testing.assert_array_equal(np.asarray(rv), np.asarray(fv))
+
+    def test_fused_auction_matches_cpu_reference(self, rng, monkeypatch):
+        """Forcing the price-fused sweep (interpret mode) through the
+        full auction must reproduce the CPU top_k path's assignment
+        exactly: ``(d - 3) + p`` and ``-(3 - d - p)`` are the same f32
+        value, and tie-breaks agree."""
+        from functools import partial as _partial
+
+        import patchaugnet_tpu.ops.emd as emd_mod
+        import patchaugnet_tpu.ops.pallas.knn as pk
+
+        x1 = rng.rand(2, 512, 3).astype(np.float32)
+        x2 = rng.rand(2, 512, 3).astype(np.float32)
+        ref = np.asarray(
+            emd_mod._auction(jnp.asarray(x1), jnp.asarray(x2), 0.02, 60)
+        )
+        monkeypatch.setattr(emd_mod.pallas, "on_tpu", lambda: True)
+        monkeypatch.setattr(
+            pk,
+            "topk_extract_price_pallas",
+            _partial(pk.topk_extract_price_pallas, interpret=True),
+        )
+        got = np.asarray(
+            emd_mod._auction(jnp.asarray(x1), jnp.asarray(x2), 0.02, 60)
+        )
+        np.testing.assert_array_equal(ref, got)
+
+    def test_active_set_tail_is_bit_identical(self, rng, monkeypatch):
+        """The active-set sweep (gather + sweep only the unassigned
+        rows once every batch element fits in R) must reproduce the
+        full-width Jacobi trajectory exactly: same bidder set, same f32
+        bid arithmetic, same scatter-max contributions. n=512 with
+        R=256 exercises both phases and the phase switch."""
+        from functools import partial as _partial
+
+        import patchaugnet_tpu.ops.emd as emd_mod
+        import patchaugnet_tpu.ops.pallas.knn as pk
+
+        x1 = rng.rand(2, 512, 3).astype(np.float32)
+        x2 = rng.rand(2, 512, 3).astype(np.float32)
+        monkeypatch.setattr(emd_mod.pallas, "on_tpu", lambda: True)
+        monkeypatch.setattr(
+            pk,
+            "topk_extract_price_pallas",
+            _partial(pk.topk_extract_price_pallas, interpret=True),
+        )
+        monkeypatch.setattr(
+            pk,
+            "topk_extract_pallas",
+            _partial(pk.topk_extract_pallas, interpret=True),
+        )
+        monkeypatch.setenv("PCR_EMD_ACTIVE", "off")
+        ref = np.asarray(
+            emd_mod._auction(jnp.asarray(x1), jnp.asarray(x2), 0.02, 120)
+        )
+        monkeypatch.setenv("PCR_EMD_ACTIVE", "auto")
+        got = np.asarray(
+            emd_mod._auction(jnp.asarray(x1), jnp.asarray(x2), 0.02, 120)
+        )
+        np.testing.assert_array_equal(ref, got)
+
     def test_top2_desc_chunked_dispatch(self, rng):
         """Rows wide enough to blow the flat VMEM tile budget route
         through the two-level chunked extraction."""
