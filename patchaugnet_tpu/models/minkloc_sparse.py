@@ -902,6 +902,9 @@ class SparseConv(nn.Module):
             from ..ops.grouping import _gather_flat as _g
         else:
             _g = gather
+        # NOTE: anchors are NOT monotone per offset — invalid edge
+        # columns carry rank(SENTINEL) = V-1 spikes mid-sequence — so
+        # gather's sorted_indices promise must stay off here.
         out = None
         for o in range(kxy):
             if self.stride == 1 and o == kxy // 2:

@@ -29,11 +29,20 @@ def gather(features: jax.Array, idx: jax.Array) -> jax.Array:
 
     Args:
       features: ``(b, n, c)``.
-      idx: ``(b, m)`` int indices.
+      idx: ``(b, m)`` int indices, each in ``[0, n)``.
     Returns: ``(b, m, c)``.
 
     Implemented as one flat row-gather with batch offsets — ~20% faster
     than ``take_along_axis`` on TPU for the SA/FP grouping shapes.
+
+    OOB semantics are ``clip`` on the FLAT index (round 4): the default
+    ``jnp.take`` fill mode wraps the gather in compare/and/select
+    fusions over the WIDE gathered output (measured 24 ms/iter of
+    ``broadcast_select_fusion`` on the sparse MinkLoc forward —
+    profiles/README.md), while HLO gather already clamps start indices
+    for free. Fill mode never gave per-batch OOB protection here anyway:
+    ``idx + b*n`` lands an OOB row in the NEXT batch element, in bounds
+    globally — so the contract is and was "callers pass in-range rows".
     """
     # dtype-generic (the reference ships Grouping AND GroupingInt,
     # pointops.py:121-172) — contract covers rank + index dtype only
@@ -72,7 +81,7 @@ def _gather_flat(features: jax.Array, idx: jax.Array) -> jax.Array:
     b, n, c = features.shape
     base = (jnp.arange(b, dtype=idx.dtype) * n)[:, None]
     flat = (idx + base).reshape(-1)
-    return jnp.take(features.reshape(b * n, c), flat, axis=0).reshape(
+    return jnp.take(features.reshape(b * n, c), flat, axis=0, mode="clip").reshape(
         b, idx.shape[1], c
     )
 
