@@ -43,6 +43,13 @@ def gather(features: jax.Array, idx: jax.Array) -> jax.Array:
     for free. Fill mode never gave per-batch OOB protection here anyway:
     ``idx + b*n`` lands an OOB row in the NEXT batch element, in bounds
     globally — so the contract is and was "callers pass in-range rows".
+    On the batch-chunked path (tables >48 MB or >1.5M indices) the clip
+    applies to each chunk's flat table, so a globally-OOB index clamps
+    to a different row than the unchunked path — chunked and flat
+    outputs are only bit-identical for in-range indices (which is the
+    contract). Set ``PCR_DEBUG=1`` to poison OOB gathers with NaN
+    (float features) so index-range bugs fail loudly in tests instead
+    of silently reading a clamped row.
     """
     # dtype-generic (the reference ships Grouping AND GroupingInt,
     # pointops.py:121-172) — contract covers rank + index dtype only
@@ -73,8 +80,22 @@ def gather(features: jax.Array, idx: jax.Array) -> jax.Array:
             for s, e in zip(bounds, bounds[1:])
             if e > s
         ]
-        return jnp.concatenate(outs, axis=0)
-    return _gather_flat(features, idx)
+        out = jnp.concatenate(outs, axis=0)
+    else:
+        out = _gather_flat(features, idx)
+    if _debug_oob() and jnp.issubdtype(features.dtype, jnp.floating):
+        # debug-only OOB canary (ADVICE r4): mode="clip" silently reads
+        # a clamped row; under PCR_DEBUG an out-of-range index poisons
+        # its output row with NaN, identically on both gather paths.
+        oob = (idx < 0) | (idx >= n)
+        out = jnp.where(oob[..., None], jnp.asarray(jnp.nan, out.dtype), out)
+    return out
+
+
+def _debug_oob() -> bool:
+    import os
+
+    return os.environ.get("PCR_DEBUG", "") not in ("", "0")
 
 
 def _gather_flat(features: jax.Array, idx: jax.Array) -> jax.Array:

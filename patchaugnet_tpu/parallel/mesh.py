@@ -7,8 +7,11 @@ collectives. The TPU-native design: a ``jax.sharding.Mesh`` over the
 slice; the tuple-batch axis is sharded over the ``data`` axis and the
 SAME global program runs under pjit/GSPMD — XLA inserts the gradient
 all-reduce (psum over ICI), the BatchNorm statistics stay *global*
-(bit-matching the single-chip run, which DataParallel never achieved),
-and descriptor extraction shards the record axis embarrassingly.
+(the semantics DataParallel never achieved; numerically the sharded
+reductions sum in a different order than one flat device, so losses
+agree at float-reduction tolerance — measured 1.8e-5 step-1 rel on
+the CLI probe, tests/test_cli.py — not bit-for-bit), and descriptor
+extraction shards the record axis embarrassingly.
 
 Works identically on a virtual CPU mesh
 (``--xla_force_host_platform_device_count=N``) for testing without

@@ -457,3 +457,25 @@ class TestGatherChunking:
         exp = np.asarray(feats)[np.arange(2)[:, None], np.asarray(idx)]
         np.testing.assert_array_equal(out, exp)
 
+    def test_pcr_debug_oob_canary(self, rng, monkeypatch):
+        """ADVICE r4: production mode='clip' silently reads a clamped
+        row on out-of-range indices; under PCR_DEBUG=1 the OOB rows are
+        poisoned with NaN so index-range bugs fail loudly in tests.
+        In-range results are untouched."""
+        from patchaugnet_tpu.ops.grouping import gather
+
+        feats = jnp.asarray(rng.rand(2, 64, 3).astype(np.float32))
+        idx = np.asarray(rng.randint(0, 64, (2, 16)), np.int32)
+        idx[0, 3] = 64        # one-past-end
+        idx[1, 7] = -2        # negative
+        monkeypatch.setenv("PCR_DEBUG", "1")
+        out = np.asarray(gather(feats, jnp.asarray(idx)))
+        assert np.isnan(out[0, 3]).all() and np.isnan(out[1, 7]).all()
+        ok = np.ones(idx.shape, bool)
+        ok[0, 3] = ok[1, 7] = False
+        exp = np.asarray(feats)[np.arange(2)[:, None], np.clip(idx, 0, 63)]
+        np.testing.assert_array_equal(out[ok], exp[ok])
+        monkeypatch.setenv("PCR_DEBUG", "0")
+        out2 = np.asarray(gather(feats, jnp.asarray(idx)))
+        assert np.isfinite(out2).all()
+
