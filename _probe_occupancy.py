@@ -51,54 +51,12 @@ def clouds_sphere(rng):
     return v / np.linalg.norm(v, axis=-1, keepdims=True)
 
 
-def _normalize(pc):
-    pc = pc - pc.mean(axis=0)
-    m = np.max(np.sqrt((pc ** 2).sum(axis=1)))
-    return pc / m
-
-
 def clouds_scene(rng):
-    """Ground + facades + poles, ~25 m extent, unit-sphere normalized."""
-    out = []
-    for _ in range(B):
-        pts = []
-        # ground plane (~45% of points)
-        n_g = int(N * 0.45)
-        g = np.stack(
-            [
-                rng.rand(n_g) * 25 - 12.5,
-                rng.rand(n_g) * 25 - 12.5,
-                rng.randn(n_g) * 0.05,
-            ],
-            axis=-1,
-        )
-        pts.append(g)
-        # 6 building facades (vertical rectangles)
-        n_f = int(N * 0.45) // 6
-        for _f in range(6):
-            cx, cy = rng.rand(2) * 20 - 10
-            w, h = 4 + rng.rand() * 8, 3 + rng.rand() * 8
-            theta = rng.rand() * np.pi
-            u = rng.rand(n_f) * w - w / 2
-            z = rng.rand(n_f) * h
-            x = cx + u * np.cos(theta)
-            y = cy + u * np.sin(theta)
-            f = np.stack([x, y, z], axis=-1) + rng.randn(n_f, 3) * 0.02
-            pts.append(f)
-        # poles / clutter for the rest
-        rem = N - sum(p.shape[0] for p in pts)
-        cl = np.stack(
-            [
-                rng.rand(rem) * 25 - 12.5,
-                rng.rand(rem) * 25 - 12.5,
-                rng.rand(rem) * 4,
-            ],
-            axis=-1,
-        )
-        pts.append(cl)
-        pc = np.concatenate(pts, axis=0).astype(np.float32)
-        out.append(_normalize(pc))
-    return np.stack(out)
+    """Ground + facades + poles, ~25 m extent, unit-sphere normalized
+    (the package generator — data/pointclouds.py)."""
+    from patchaugnet_tpu.data.pointclouds import synthetic_scene_clouds
+
+    return synthetic_scene_clouds(rng, B, N)
 
 
 def occupancy(clouds):

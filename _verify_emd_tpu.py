@@ -106,6 +106,54 @@ def main():
         "speedup_active_vs_chunked": round(speedup, 2),
     }), flush=True)
 
+    # --- 4. convergence-aware modes (VERDICT r4 next #3): verify the
+    # way the reference verifies itself (emd_module.py:81-95) —
+    # recompute the distance from the returned assignment, count
+    # uniqueness — and compare mean matched sq-distance to the exact
+    # mode. Target: <0.15 s warm at the reference workload.
+    os.environ["PCR_EMD_SWEEP"] = "fused"
+    os.environ["PCR_EMD_ACTIVE"] = "auto"
+    n = int(x1.shape[1])
+    exact_dist = None
+    for label, kwargs in (
+        ("exact", {}),
+        ("floor1pct", {"unass_floor": -(-n // 100)}),
+        ("floor1pct_scaled", {"unass_floor": -(-n // 100),
+                              "eps_schedule": (10.0, 1.0)}),
+    ):
+        fn = jax.jit(
+            lambda a, b, kw=kwargs: emd_mod.auction_emd(
+                a, b, 0.02, 1024, **kw
+            )
+        )
+        t0 = time.perf_counter()
+        dist, asg = fn(x1, x2)
+        dist, asg = np.asarray(dist), np.asarray(asg)
+        compile_s = time.perf_counter() - t0
+        times = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            np.asarray(fn(x1, x2)[0])
+            times.append(time.perf_counter() - t0)
+        # reference-style self-verification: recomputed distance from
+        # the assignment must equal the returned distance
+        matched = np.take_along_axis(np.asarray(x2), asg[..., None], 1)
+        recomputed = ((np.asarray(x1) - matched) ** 2).sum(-1)
+        self_ok = bool(np.allclose(recomputed, dist, atol=1e-6))
+        md = float(dist.mean())
+        if label == "exact":
+            exact_dist = md
+        uniq = int(np.mean([len(np.unique(a)) for a in asg]))
+        print(json.dumps({
+            "check": f"mode_{label}",
+            "warm_s": round(min(times), 4),
+            "compile_s": round(compile_s, 1),
+            "mean_sqdist": round(md, 6),
+            "vs_exact_pct": round((md / exact_dist - 1) * 100, 2),
+            "mean_unique": uniq,
+            "self_verified": self_ok,
+        }), flush=True)
+
 
 if __name__ == "__main__":
     main()

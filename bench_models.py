@@ -55,17 +55,32 @@ def _backend_watchdog(timeout_s: float = 600.0):
 
 
 def main():
-    _backend_watchdog()
     ap = argparse.ArgumentParser()
     ap.add_argument("--models", nargs="*", default=list(MODEL_CFGS))
     ap.add_argument("--precision", type=str, default="float32",
                     choices=["float32", "bfloat16"],
                     help="model compute dtype (COMPUTE_DTYPE)")
+    ap.add_argument("--geometry", type=str, default="uniform",
+                    choices=["uniform", "scene"],
+                    help="cloud geometry: uniform cube (the historical "
+                         "protocol) or LiDAR-like surfaces "
+                         "(data.pointclouds.synthetic_scene_clouds)")
+    ap.add_argument("--level-capacity", type=str, default=None,
+                    help="sparse MinkLoc per-level table capacities: "
+                         "'auto' (calibrate on the benched clouds, "
+                         "margin 1.25) or comma ints")
+    ap.add_argument("--platform", type=str, default=None,
+                    help="force jax platform (e.g. cpu for smoke runs)")
     args = ap.parse_args()
+
+    if not args.platform:
+        _backend_watchdog()
 
     import numpy as np
     import jax
 
+    if args.platform:
+        jax.config.update("jax_platforms", args.platform)
     jax.config.update("jax_default_matmul_precision", "float32")
     import jax.numpy as jnp
     import yaml
@@ -73,14 +88,49 @@ def main():
     from patchaugnet_tpu.models import get_model
     from patchaugnet_tpu.train.step import _global_desc
 
+    def make_clouds(seed):
+        if args.geometry == "scene":
+            from patchaugnet_tpu.data.pointclouds import synthetic_scene_clouds
+
+            return jnp.asarray(
+                synthetic_scene_clouds(
+                    np.random.RandomState(seed), BATCH, N_POINTS
+                )
+            )
+        return (
+            jax.random.uniform(
+                jax.random.PRNGKey(seed), (BATCH, N_POINTS, 3), jnp.float32
+            ) * 2 - 1
+        )
+
     rng = jax.random.PRNGKey(0)
     for name in args.models:
         cfg = yaml.safe_load(open(MODEL_CFGS[name]))
         cfg["model_type"] = name
         if args.precision != "float32":
             cfg["COMPUTE_DTYPE"] = args.precision
+        caps = None
+        if name == "minkloc3dv2" and args.level_capacity:
+            from patchaugnet_tpu.models.minkloc_sparse import (
+                measure_level_occupancy,
+                suggest_level_capacities,
+            )
+
+            if args.level_capacity == "auto":
+                counts = measure_level_occupancy(
+                    make_clouds(0),
+                    num_levels=len(cfg.get("layers", (1, 1, 1, 1))),
+                    coordinates=cfg.get("coordinates", "cartesian"),
+                    quantization_step=cfg.get("quantization_step", 0.01),
+                )
+                caps = suggest_level_capacities(
+                    counts, margin=1.25, align=256, full=N_POINTS
+                )
+            else:
+                caps = [int(c) for c in args.level_capacity.split(",")]
+            cfg["level_capacity"] = caps
         model = get_model(name, cfg)
-        x = jax.random.uniform(rng, (BATCH, N_POINTS, 3), jnp.float32) * 2 - 1
+        x = make_clouds(0)
         variables = jax.jit(model.init)(rng, x)
 
         fwd = jax.jit(
@@ -90,10 +140,7 @@ def main():
         out = np.asarray(fwd(variables, x))
         compile_s = time.perf_counter() - t0
         assert np.isfinite(out).all(), name
-        xs = [
-            jax.random.uniform(jax.random.PRNGKey(i + 1), (BATCH, N_POINTS, 3)) * 2 - 1
-            for i in range(ITERS)
-        ]
+        xs = [make_clouds(i + 1) for i in range(ITERS)]
         for i in range(WARMUP):
             np.asarray(fwd(variables, xs[i]))
         t0 = time.perf_counter()
@@ -105,9 +152,13 @@ def main():
         extra = {}
         if args.precision != "float32":
             extra["precision"] = args.precision
+        if args.geometry != "uniform":
+            extra["geometry"] = args.geometry
         if name == "minkloc3dv2":
             extra["backend"] = type(model).__name__
             extra["quantization_step"] = cfg.get("quantization_step")
+            if caps is not None:
+                extra["level_capacity"] = caps
         print(
             json.dumps(
                 {

@@ -52,7 +52,8 @@ def chamfer_loss(pc1: jax.Array, pc2: jax.Array) -> jax.Array:
 
 
 def emd_loss(
-    pc1: jax.Array, pc2: jax.Array, eps: float = 0.02, iters: int = 1024
+    pc1: jax.Array, pc2: jax.Array, eps: float = 0.02, iters: int = 1024,
+    unass_floor: int = 0, eps_schedule=None,
 ) -> jax.Array:
     """mean over clouds of mean per-point euclidean EMD distance
     (pointnetvlad_loss.py:218-221).
@@ -65,8 +66,13 @@ def emd_loss(
     loss slows training ~7x; the reference default is chamfer
     (train_place_recognition.py uses chamfer_loss), which this
     framework keeps as its practical default. See README "EMD cost
-    cliff"."""
-    dist, _ = auction_emd(pc1, pc2, eps, iters)
+    cliff". The opt-in convergence knobs cut the call to 0.14-0.17 s
+    with documented mean-distance tolerance: ``unass_floor=ceil(n/100)``
+    and/or ``eps_schedule=(10.0, 1.0)`` — see ops/emd.py."""
+    dist, _ = auction_emd(
+        pc1, pc2, eps, iters, None, unass_floor,
+        tuple(eps_schedule) if eps_schedule else None,
+    )
     return jnp.mean(jnp.mean(jnp.sqrt(dist + _EPS), axis=1))
 
 
@@ -100,17 +106,24 @@ def patch_emd_loss(
     cloud_mask: Optional[jax.Array] = None,
     eps: float = 0.02,
     iters: int = 1024,
+    unass_floor: int = 0,
+    eps_schedule=None,
 ) -> jax.Array:
     """Auction EMD over stacked patches (pointnetvlad_loss.py:250-256).
 
     COST WARNING: sequential auction sweeps — see :func:`emd_loss`;
-    chamfer (:func:`patch_chamfer_loss`) is the practical default."""
+    chamfer (:func:`patch_chamfer_loss`) is the practical default.
+    ``unass_floor``/``eps_schedule`` are the opt-in convergence knobs
+    (ops/emd.py)."""
     b, m, k, _ = origin_patches.shape
     dist, _ = auction_emd(
         origin_patches.reshape(b * m, k, 3),
         recon_patches.reshape(b * m, k, 3),
         eps,
         iters,
+        None,
+        unass_floor,
+        tuple(eps_schedule) if eps_schedule else None,
     )
     per_patch = jnp.mean(jnp.sqrt(dist + _EPS), axis=1).reshape(b, m)
     return _masked_mean(per_patch, cloud_mask)

@@ -469,7 +469,11 @@ def build_minkloc(param: Dict[str, Any]):
         step = param.get("quantization_step", 0.01)
         if isinstance(step, (list, tuple)):
             step = tuple(float(s) for s in step)
+        level_capacity = param.get("level_capacity")
+        if level_capacity is not None:
+            level_capacity = tuple(int(c) for c in level_capacity)
         return MinkLocSparse(
+            level_capacity=level_capacity,
             feature_size=param.get("feature_size", 256),
             output_dim=param.get("output_dim", 256),
             planes=tuple(param.get("planes", (64, 128, 64, 32))),

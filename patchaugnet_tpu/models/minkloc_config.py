@@ -29,6 +29,9 @@ class ModelParams:
     conv0_kernel_size: int = 5
     block: str = "BasicBlock"
     pooling: str = "GeM"
+    # sparse-backend static per-level table capacities (len layers+1);
+    # None = full capacity (see minkloc_sparse.suggest_level_capacities)
+    level_capacity: Optional[Tuple[int, ...]] = None
 
     @classmethod
     def from_ini(cls, path: str) -> "ModelParams":
@@ -55,6 +58,10 @@ class ModelParams:
             conv0_kernel_size=p.getint("conv0_kernel_size", 5),
             block=p.get("block", "BasicBlock"),
             pooling=p.get("pooling", "GeM"),
+            level_capacity=(
+                tuple(int(e) for e in p["level_capacity"].split(","))
+                if "level_capacity" in p else None
+            ),
         )
 
     def as_dict(self) -> dict:

@@ -284,13 +284,18 @@ def upsample_from_ranks(
     """:func:`upsample_parent_table` from the downsample's parent ranks
     (zero lookups): every valid fine site's parent exists by
     construction, and the flipped-q kernel slot comes from the fine
-    coords. Returns ``(idx (B, V, 8), valid (B, V, 8))``."""
+    coords. Returns ``(idx (B, V, 8), valid (B, V, 8))``.
+
+    ``parent_rank < vc`` guards the capacity-compacted pyramid: when a
+    coarse level overflows its static capacity, the dropped (highest-
+    key) parents' children take a ZERO tconv contribution instead of
+    silently reading the clamped last row."""
     coords = decompose_keys(fine.keys, fine_dims)
     q = coords % 2
     qflip = 1 - q
     qi = (qflip[..., 0] * 2 + qflip[..., 1]) * 2 + qflip[..., 2]
     onehot = qi[..., None] == jnp.arange(8)
-    valid = onehot & fine.mask[..., None]
+    valid = onehot & (fine.mask & (parent_rank < vc))[..., None]
     idx = jnp.broadcast_to(
         jnp.clip(parent_rank, 0, vc - 1)[..., None], valid.shape
     )
@@ -550,7 +555,12 @@ class Routes(NamedTuple):
 class Pyramid(NamedTuple):
     """All coordinate maps + routed kernel maps for one forward (pure
     ints — built once per input, shared by every conv at a level).
-    ``*_routes`` are :func:`routes_from_zmap` outputs."""
+    ``*_routes`` are :func:`routes_from_zmap` outputs.
+
+    ``overflow`` is the max number of voxels dropped at any level by a
+    static ``level_capacity`` smaller than the true occupancy (0 when
+    uncompacted or when every capacity held) — see
+    :func:`build_pyramid`."""
 
     tables: Tuple[VoxelTable, ...]              # level 0..num_levels
     dims: Tuple[Dims, ...]
@@ -558,6 +568,33 @@ class Pyramid(NamedTuple):
     block_routes: Tuple["Routes", ...]          # level 1.., k=3
     down_routes: Tuple["Routes", ...]           # into level 1..
     up_nbr: Tuple[Tuple[jax.Array, jax.Array], ...]      # top-down steps
+    overflow: jax.Array                         # () int32
+
+
+def _compact_table(
+    table: VoxelTable, capacity: Optional[int]
+) -> Tuple[VoxelTable, jax.Array]:
+    """Slice a sorted SENTINEL-padded table to a static per-level
+    capacity (VERDICT r4 next #2: stride-2 levels merge voxels, but
+    every level paid full-capacity route resolves / window gathers /
+    select fusions / conv matmuls — on LiDAR-like surface clouds levels
+    1-4 sit at 0.82/0.53/0.23/0.055 of N=4096, _probe_occupancy.py).
+
+    Sorted keys put padding at the back, so compaction is a prefix
+    slice; on overflow the HIGHEST keys drop (deterministic), their
+    queries stop resolving (zero conv contribution) and their children
+    lose the tconv path (guard in :func:`upsample_from_ranks`).
+    Returns ``(table, excess)`` with ``excess`` = () int32 max dropped
+    count over the batch (0 when capacity holds)."""
+    v = table.keys.shape[1]
+    if capacity is None or capacity >= v:
+        return table, jnp.zeros((), jnp.int32)
+    n = jnp.sum(table.mask, axis=1).astype(jnp.int32)
+    excess = jnp.maximum(jnp.max(n) - capacity, 0)
+    return (
+        VoxelTable(keys=table.keys[:, :capacity], mask=table.mask[:, :capacity]),
+        excess,
+    )
 
 
 def build_pyramid(
@@ -567,6 +604,7 @@ def build_pyramid(
     num_levels: int,
     num_top_down: int,
     conv0_kernel_size: int,
+    level_capacity: Optional[Sequence[int]] = None,
 ) -> Pyramid:
     n_cells = dims[0] * dims[1] * dims[2]
     if n_cells >= _RANK_CLAMP:
@@ -577,13 +615,21 @@ def build_pyramid(
             "to spare); use a coarser quantization step or extend the "
             "key encoding to int64"
         )
-    t0 = build_table(coords, valid, dims)
+    if level_capacity is not None and len(level_capacity) != num_levels + 1:
+        raise ValueError(
+            f"level_capacity needs {num_levels + 1} entries (level 0.."
+            f"{num_levels}), got {len(level_capacity)}"
+        )
+    cap = lambda i: None if level_capacity is None else int(level_capacity[i])
+    t0, overflow = _compact_table(build_table(coords, valid, dims), cap(0))
     tables: List[VoxelTable] = [t0]
     all_dims: List[Dims] = [dims]
     parent_ranks: List[jax.Array] = []
     down_routes: List[Routes] = []
-    for _ in range(num_levels):
+    for li in range(num_levels):
         coarse, cdims, prank = downsample_with_ranks(tables[-1], all_dims[-1])
+        coarse, excess = _compact_table(coarse, cap(li + 1))
+        overflow = jnp.maximum(overflow, excess)
         parent_ranks.append(prank)
         # Down routes go through the rank-lookup z-run path, NOT
         # :func:`down_routes_from_ranks`: the scatter there materialises
@@ -653,6 +699,7 @@ def build_pyramid(
         block_routes=tuple(block_routes),
         down_routes=tuple(down_routes),
         up_nbr=tuple(up_nbr),
+        overflow=overflow,
     )
 
 
@@ -702,6 +749,10 @@ def routes_from_zmap(
     """
     b, v = keys.shape
     kxy, l = zmap.qc.shape[-1], zmap.z_ok.shape[-1]
+    # output sites come from the map (a capacity-compacted coarse level
+    # makes the down map rectangular: Vout < V); the sentinel stays the
+    # INPUT table width v
+    vout = zmap.qc.shape[1]
     # window-key table: kwin[b, s, r] = keys[b, s + r - h0] (contiguous
     # shifts, no gather); rows shifted past the table edge carry -1,
     # which never equals a present expected key (>= 0) nor a SENTINEL+dz
@@ -722,7 +773,9 @@ def routes_from_zmap(
         cols.append(sh)
     kwin = jnp.stack(cols, axis=-1)                           # (B, V, L)
     if identity_col is None:
-        g = gather(kwin, zmap.anchor.reshape(b, v * kxy)).reshape(b, v, kxy, l)
+        g = gather(kwin, zmap.anchor.reshape(b, vout * kxy)).reshape(
+            b, vout, kxy, l
+        )
     else:
         # Stride-1 maps: the centre xy column's anchor is the row index
         # itself (build_pyramid stacks ``iota`` there, and the clip is
@@ -733,8 +786,8 @@ def routes_from_zmap(
         # feature windows).
         others = [o for o in range(kxy) if o != identity_col]
         g_o = gather(
-            kwin, zmap.anchor[..., others].reshape(b, v * (kxy - 1))
-        ).reshape(b, v, kxy - 1, l)
+            kwin, zmap.anchor[..., others].reshape(b, vout * (kxy - 1))
+        ).reshape(b, vout, kxy - 1, l)
         g = jnp.concatenate(
             [
                 g_o[:, :, :identity_col],
@@ -756,13 +809,13 @@ def routes_from_zmap(
         dz = z - h0
         e = zmap.qc + dz                                      # (B, V, Kxy)
         zok = zmap.z_ok[..., z][..., None] & colv             # (B, V, Kxy)
-        sz = jnp.full((b, v, kxy), v, jnp.int32)
+        sz = jnp.full((b, vout, kxy), v, jnp.int32)
         for rp in range(min(h0, h0 + dz), max(h0, h0 + dz) + 1):
             sz = jnp.where(
                 (g[..., rp] == e) & zok, zmap.anchor + (rp - h0), sz
             )
         zcols.append(sz)
-    src = jnp.stack(zcols, axis=-1).reshape(b, v, kxy * l)
+    src = jnp.stack(zcols, axis=-1).reshape(b, vout, kxy * l)
     return Routes(src=src, anchor=zmap.anchor)
 
 
@@ -886,12 +939,16 @@ class SparseConv(nn.Module):
         b, v, cin = feats.shape
         kxy = anchor.shape[-1]
         l = src.shape[-1] // kxy
+        # output sites come from the map, not the input table: a
+        # capacity-compacted coarse level makes Vout < Vin on the
+        # stride-2 down convs
+        vout = src.shape[1]
         h0 = 0 if self.stride == 2 else (self.kernel - 1) // 2
         # compute at the feature dtype (bf16 under COMPUTE_DTYPE; no-op
         # at f32) with f32 MXU accumulation via preferred_element_type
         w = kernel.reshape(kxy, l * cin, self.features).astype(feats.dtype)
         ext = _shift_ext(feats, l, h0)
-        src3 = src.reshape(b, v, kxy, l)
+        src3 = src.reshape(b, vout, kxy, l)
         # PCR_SPARSE_CONV_GATHER=raw bypasses ops.grouping.gather's
         # anti-cliff batch chunking (built for the B=100 eval gathers;
         # at cin>=128 the (B, V, L*C) ext table crosses its size
@@ -917,7 +974,7 @@ class SparseConv(nn.Module):
                 # are zero-padded (src == V can only match at the
                 # anchor+1 edge, which reads the zero row either way).
                 g = ext
-                anc = jax.lax.broadcasted_iota(jnp.int32, (b, v), 1)
+                anc = jax.lax.broadcasted_iota(jnp.int32, (b, vout), 1)
             else:
                 g = _g(ext, anchor[..., o])                   # (B, V, L*C)
                 anc = anchor[..., o]
@@ -1185,9 +1242,25 @@ class MinkLocSparse(nn.Module):
     # COMPUTE_DTYPE "bfloat16": bf16 trunk, f32 quantization/routing/
     # params/pooling, f32 descriptor out (see patch_aug_net.py).
     compute_dtype: Optional[Any] = None
+    # Static per-level table capacities (len num_levels+1; None = full
+    # capacity N at every level). Stride-2 levels merge voxels, so on
+    # surface-like clouds the deeper tables sit far below N and every
+    # route resolve / window gather / conv matmul pays for padding —
+    # calibrate with measure_level_occupancy/suggest_level_capacities.
+    # MinkowskiEngine anchor: minkfpn.py:9-93 only ever touches stored
+    # sites. Overflowing a capacity drops the highest-key voxels
+    # deterministically; pass return_diagnostics=True (or check the
+    # suggested capacities offline) to detect it.
+    level_capacity: Optional[Sequence[int]] = None
 
     @nn.compact
-    def __call__(self, points: jax.Array, *, train: bool = False) -> jax.Array:
+    def __call__(
+        self,
+        points: jax.Array,
+        *,
+        train: bool = False,
+        return_diagnostics: bool = False,
+    ) -> jax.Array:
         if points.ndim == 4:
             points = points.squeeze(1)
         if self.coordinates == "cartesian":
@@ -1206,6 +1279,7 @@ class MinkLocSparse(nn.Module):
             num_levels=len(self.layers),
             num_top_down=self.num_top_down,
             conv0_kernel_size=self.conv0_kernel_size,
+            level_capacity=self.level_capacity,
         )
         x, out_mask = SparseVoxelFPN(
             out_channels=self.feature_size,
@@ -1225,4 +1299,70 @@ class MinkLocSparse(nn.Module):
         )(x, out_mask, train=train)
         if self.normalize_embeddings:
             out = l2_normalize(out, axis=-1)
+        if return_diagnostics:
+            return out, {"capacity_overflow": pyramid.overflow}
         return out
+
+
+def measure_level_occupancy(
+    points,
+    *,
+    num_levels: int = 4,
+    coordinates: str = "cartesian",
+    quantization_step: Any = 0.01,
+    extent: float = 1.0,
+    polar_max_dist: float = 1.5,
+):
+    """Occupied-voxel counts per pyramid level for capacity calibration.
+
+    Args:
+      points: ``(B, N, 3)`` clouds (a representative sample of the
+        dataset the model will serve).
+    Returns: ``(B, num_levels + 1)`` int array of stored-voxel counts.
+    """
+    import functools
+
+    import numpy as np
+
+    def counts_fn(points):
+        if coordinates == "cartesian":
+            coords, valid, dims = quantize_cartesian(
+                points, float(quantization_step), extent
+            )
+        else:
+            steps = quantization_step
+            if not isinstance(steps, (tuple, list)):
+                steps = (steps,) * 3
+            coords, valid, dims = quantize_polar(
+                points, tuple(float(s) for s in steps),
+                max_dist=polar_max_dist, z_extent=extent,
+            )
+        table = build_table(coords, valid, dims)
+        counts = [jnp.sum(table.mask, axis=1)]
+        d = dims
+        for _ in range(num_levels):
+            table, d = downsample_table(table, d)
+            counts.append(jnp.sum(table.mask, axis=1))
+        return jnp.stack(counts, axis=1)
+
+    # jitted: eager sorts through the axon tunnel pay ~28 ms per op
+    return np.asarray(jax.jit(counts_fn)(jnp.asarray(points)))
+
+
+def suggest_level_capacities(
+    counts, *, margin: float = 1.25, align: int = 256, full: Optional[int] = None
+):
+    """Turn measured occupancy (:func:`measure_level_occupancy`) into
+    static per-level capacities: per-level max count x ``margin``,
+    rounded up to ``align`` (sublane/lane-friendly sort and matmul
+    widths), capped at ``full`` (the uncompacted capacity, = N)."""
+    import math
+
+    import numpy as np
+
+    counts = np.asarray(counts)
+    caps = []
+    for lvl in range(counts.shape[1]):
+        c = int(math.ceil(counts[:, lvl].max() * margin / align)) * align
+        caps.append(min(c, full) if full is not None else c)
+    return caps

@@ -52,6 +52,23 @@ on-chip); 1.43 s -> **0.69 s** warm at the reference workload. The
 residual is the per-iteration update/compaction machinery at the
 (b, n) scatter floor — a sequential ~0.67 ms/iteration times however
 many rounds the price war needs.
+
+Round 5 attacks the iteration COUNT (the verdict's diagnosis: the loop
+is convergence-starved, not compute-bound): ``unass_floor`` exits the
+auction once every batch element is within the floor of full
+assignment (the force-assign tail — the reference's ``last=true``
+pass — takes the stragglers), and the opt-in ``eps_schedule`` runs
+coarse-to-fine eps phases with carried prices (Bertsekas eps-scaling).
+On-chip at the reference (4, 4096, 3) eps=0.02/iters=1024 workload
+(_verify_emd_tpu.py, self-verified by recomputing distances from the
+returned assignment like emd_module.py:81-95):
+
+  exact (default)                  0.687 s   baseline, bit-exact mode
+  unass_floor=1%                   0.170 s   mean sqdist -4.6%, 4072/4096 unique
+  unass_floor=1% + (10, 1) sched   0.143 s   mean sqdist +0.58%, 4058 unique
+
+Defaults stay exact; the scaled modes are opt-in knobs on
+``auction_emd`` and the EMD losses.
 """
 from __future__ import annotations
 
@@ -135,6 +152,8 @@ def _auction(
     eps: float,
     iters: int,
     row_chunk: Optional[int] = None,
+    unass_floor: int = 0,
+    eps_schedule: Optional[Tuple[float, ...]] = None,
 ) -> jax.Array:
     b, n, _ = xyz1.shape
     if row_chunk is None:
@@ -240,12 +259,13 @@ def _auction(
         and n > active_R
     )
 
-    def step_full(assignment, assignment_inv, price):
+    def make_step_full(eps_p):
+      def step_full(assignment, assignment_inv, price):
         unass = assignment < 0                             # (b, n)
         top2, top2_i = top2_sweep(price)
         best, better = top2[..., 0], top2[..., 1]
         best_i = top2_i[..., 0].astype(jnp.int32)          # (b, n)
-        inc = jnp.where(unass, best - better + eps, _NEG)
+        inc = jnp.where(unass, best - better + eps_p, _NEG)
         # Column winners via scatter-max (CUDA atomicMax in Bid).
         winner_inc = (
             jnp.full((b, n), _NEG, jnp.float32).at[batch, best_i].max(inc)
@@ -278,7 +298,10 @@ def _auction(
         price = jnp.where(has_winner, price + winner_inc, price)
         return assignment, assignment_inv, price
 
-    def step_active(assignment, assignment_inv, price):
+      return step_full
+
+    def make_step_active(eps_p):
+      def step_active(assignment, assignment_inv, price):
         r = active_R
         unass = assignment < 0                             # (b, n)
         # compact the unassigned row ids (ascending) into R slots;
@@ -300,7 +323,7 @@ def _auction(
         idx, negv = topk_extract_price_pallas(rows_g, price, 2, r)
         best, better = -negv[..., 0], -negv[..., 1]
         best_i = idx[..., 0].astype(jnp.int32)              # (b, R)
-        inc = jnp.where(valid, best - better + eps, _NEG)
+        inc = jnp.where(valid, best - better + eps_p, _NEG)
         winner_inc = (
             jnp.full((b, n), _NEG, jnp.float32).at[batch, best_i].max(inc)
         )
@@ -338,25 +361,43 @@ def _auction(
         price = jnp.where(has_winner, price + winner_inc, price)
         return assignment, assignment_inv, price
 
+      return step_active
+
     def cond(state):
         i, assignment, _, _ = state
-        return jnp.logical_and(i < iters, jnp.any(assignment < 0))
-
-    def body(state):
-        i, assignment, assignment_inv, price = state
-        if use_active:
-            small = (
-                jnp.max(jnp.sum(assignment < 0, axis=1)) <= active_R
-            )
-            assignment, assignment_inv, price = jax.lax.cond(
-                small, step_active, step_full,
-                assignment, assignment_inv, price,
-            )
+        if unass_floor > 0:
+            # convergence-aware exit (round 5): the reference-parameter
+            # auction nets ~4 assignments per 1024 iterations past the
+            # first ~100 rounds (_study_auction.py) — once every batch
+            # element is within `unass_floor` of full assignment, the
+            # force-assign tail takes the stragglers (exactly what the
+            # CUDA last=true pass does after ITS budget runs out)
+            busy = jnp.any(jnp.sum(assignment < 0, axis=1) > unass_floor)
         else:
-            assignment, assignment_inv, price = step_full(
-                assignment, assignment_inv, price
-            )
-        return i + 1, assignment, assignment_inv, price
+            busy = jnp.any(assignment < 0)
+        return jnp.logical_and(i < iters, busy)
+
+    def make_body(eps_p):
+        step_full = make_step_full(eps_p)
+        step_active = make_step_active(eps_p)
+
+        def body(state):
+            i, assignment, assignment_inv, price = state
+            if use_active:
+                small = (
+                    jnp.max(jnp.sum(assignment < 0, axis=1)) <= active_R
+                )
+                assignment, assignment_inv, price = jax.lax.cond(
+                    small, step_active, step_full,
+                    assignment, assignment_inv, price,
+                )
+            else:
+                assignment, assignment_inv, price = step_full(
+                    assignment, assignment_inv, price
+                )
+            return i + 1, assignment, assignment_inv, price
+
+        return body
 
     state = (
         jnp.zeros((), jnp.int32),
@@ -364,7 +405,22 @@ def _auction(
         jnp.full((b, n), -1, jnp.int32),
         jnp.zeros((b, n), jnp.float32),
     )
-    _, assignment, _, price = jax.lax.while_loop(cond, body, state)
+    # eps-scaling (opt-in): phases at eps * mult, coarse to fine —
+    # prices carry across phases (they are near-correct for the next,
+    # finer phase), assignments reset; the shared iteration counter
+    # keeps the total budget at `iters`. Standard auction practice
+    # (Bertsekas); numbers in _study_emd_modes.py.
+    for pi, mult in enumerate(eps_schedule or (1.0,)):
+        if pi:
+            i0, _, _, price0 = state
+            state = (
+                i0,
+                jnp.full((b, n), -1, jnp.int32),
+                jnp.full((b, n), -1, jnp.int32),
+                price0,
+            )
+        state = jax.lax.while_loop(cond, make_body(eps * float(mult)), state)
+    _, assignment, _, price = state
     # Force-assign stragglers to their current best column (last=true
     # pass); top-1 of the sweep is argmax with the same lowest-index
     # tie-break.
@@ -373,13 +429,15 @@ def _auction(
     return jnp.where(assignment < 0, fallback, assignment)
 
 
-@partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4))
+@partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5, 6))
 def auction_emd(
     xyz1: jax.Array,
     xyz2: jax.Array,
     eps: float = 0.005,
     iters: int = 50,
     row_chunk: Optional[int] = None,
+    unass_floor: int = 0,
+    eps_schedule: Optional[Tuple[float, ...]] = None,
 ) -> Tuple[jax.Array, jax.Array]:
     """Approximate EMD between same-size clouds.
 
@@ -392,35 +450,60 @@ def auction_emd(
         An explicit chunk smaller than ``n`` must divide ``n``
         (``ValueError`` otherwise — a non-divisor would silently fall
         back to the dense matrix).
+      unass_floor: convergence-aware exit (0 = exact reference
+        semantics): stop auctioning once every batch element has at
+        most this many unassigned rows and force-assign those to their
+        best column (exactly what the reference's ``last=true`` pass
+        does when ITS budget runs out, emd_cuda.cu). At the reference
+        workload the tail past 1% unassigned costs ~900 of 1024
+        iterations for ~4 net assignments — ``unass_floor=ceil(n/100)``
+        cuts the warm call ~7x with mean matched sq-distance within
+        ~6% of the exact mode and >=98.9% unique assignments
+        (_study_emd_modes.py, _verify_emd_tpu.py).
+      eps_schedule: opt-in eps-scaling (Bertsekas): descending
+        multipliers, e.g. ``(10.0, 1.0)`` — each phase runs at
+        ``eps * mult`` carrying prices (near-correct for the next,
+        finer phase) and resetting assignments, under the shared
+        ``iters`` budget. Combine with ``unass_floor`` to bound each
+        phase; None = single phase at ``eps`` (reference semantics).
 
     Returns:
       ``(dist, assignment)``: per-point squared distances ``(b, n)`` and
       int32 assignment of each xyz1 row to an xyz2 row.
     """
-    return _emd_fwd_impl(xyz1, xyz2, eps, iters, row_chunk)
+    return _emd_fwd_impl(
+        xyz1, xyz2, eps, iters, row_chunk, unass_floor, eps_schedule
+    )
 
 
-def _emd_fwd_impl(xyz1, xyz2, eps, iters, row_chunk=None):
+def _emd_fwd_impl(
+    xyz1, xyz2, eps, iters, row_chunk=None, unass_floor=0, eps_schedule=None
+):
     # reference contract: same-size clouds (emd_module.py:35-38)
     assert xyz1.shape == xyz2.shape and xyz1.ndim == 3 and xyz1.shape[-1] == 3, (
         f"auction_emd expects matching (b, n, 3) clouds, got "
         f"{xyz1.shape} vs {xyz2.shape}"
     )
     assignment = _auction(
-        xyz1.astype(jnp.float32), xyz2.astype(jnp.float32), eps, iters, row_chunk
+        xyz1.astype(jnp.float32), xyz2.astype(jnp.float32), eps, iters,
+        row_chunk, unass_floor, eps_schedule,
     )
     matched = jnp.take_along_axis(xyz2, assignment[..., None], axis=1)
     dist = jnp.sum((xyz1 - matched) ** 2, axis=-1)
     return dist, assignment
 
 
-def _emd_fwd(xyz1, xyz2, eps, iters, row_chunk=None):
-    dist, assignment = _emd_fwd_impl(xyz1, xyz2, eps, iters, row_chunk)
+def _emd_fwd(
+    xyz1, xyz2, eps, iters, row_chunk=None, unass_floor=0, eps_schedule=None
+):
+    dist, assignment = _emd_fwd_impl(
+        xyz1, xyz2, eps, iters, row_chunk, unass_floor, eps_schedule
+    )
     matched = jnp.take_along_axis(xyz2, assignment[..., None], axis=1)
     return (dist, assignment), (xyz1, matched)
 
 
-def _emd_bwd(eps, iters, row_chunk, res, grads):
+def _emd_bwd(eps, iters, row_chunk, unass_floor, eps_schedule, res, grads):
     xyz1, matched = res
     g_dist, _ = grads
     # Matches emd.cpp backward: grad w.r.t. xyz1 only.

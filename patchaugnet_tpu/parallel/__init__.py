@@ -10,7 +10,14 @@ from .mesh import (
     pad_to_multiple,
 )
 from .host_data import host_batch_slice, host_record_indices, make_global_batch
-from .sharded_ops import sharded_knn, sharded_fps, sharded_topk_neighbors
+from .sharded_ops import (
+    sharded_knn,
+    sharded_fps,
+    sharded_topk_neighbors,
+    sharded_gather,
+    sharded_group,
+    sharded_sa_level,
+)
 
 __all__ = [
     "make_mesh",
@@ -27,4 +34,7 @@ __all__ = [
     "sharded_knn",
     "sharded_fps",
     "sharded_topk_neighbors",
+    "sharded_gather",
+    "sharded_group",
+    "sharded_sa_level",
 ]

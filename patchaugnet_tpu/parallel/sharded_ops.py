@@ -104,6 +104,124 @@ def sharded_topk_neighbors(
     return d2[0], idx[0]
 
 
+def sharded_gather(
+    features: jax.Array,
+    idx: jax.Array,
+    mesh: Mesh,
+    axis_name: str = "data",
+    batch_axis: Optional[str] = None,
+) -> jax.Array:
+    """Row gather by GLOBAL index from a point-sharded table.
+
+    ``out[b, j, c] = features[b, idx[b, j], c]`` with the ``n`` axis of
+    ``features`` sharded ``P(axis_name)`` and ``idx`` replicated along
+    it. Exact vs :func:`patchaugnet_tpu.ops.gather`: each global row is
+    owned by exactly one shard; non-owners contribute exact zeros and
+    one ``psum`` over ICI assembles the rows (adding 0.0 is exact in
+    f32, so the result is bit-identical regardless of reduction order).
+
+    Args:
+      features: ``(b, n, c)``; idx: ``(b, m)`` int32 in ``[0, n)``.
+    Returns: ``(b, m, c)`` replicated along ``axis_name``.
+    """
+    from ..ops.grouping import gather as _gather
+
+    n = features.shape[1]
+    n_dev = mesh.shape[axis_name]
+    assert n % n_dev == 0, (n, n_dev)
+    shard_n = n // n_dev
+
+    def local(f_shard, idx_rep):
+        off = jax.lax.axis_index(axis_name) * shard_n
+        loc = idx_rep - off
+        ok = (loc >= 0) & (loc < shard_n)
+        g = _gather(f_shard, jnp.clip(loc, 0, shard_n - 1).astype(jnp.int32))
+        g = jnp.where(ok[..., None], g, jnp.zeros((), g.dtype))
+        return jax.lax.psum(g, axis_name)
+
+    fn = shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(P(batch_axis, axis_name, None), P(batch_axis, None)),
+        out_specs=P(batch_axis, None, None),
+        check_vma=False,
+    )
+    return fn(features, idx)
+
+
+def sharded_group(
+    features: jax.Array,
+    idx: jax.Array,
+    mesh: Mesh,
+    axis_name: str = "data",
+    batch_axis: Optional[str] = None,
+) -> jax.Array:
+    """``out[b, j, s, c] = features[b, idx[b, j, s], c]`` — the grouped
+    variant of :func:`sharded_gather` (``idx``: ``(b, m, k)``)."""
+    b, m, k = idx.shape
+    flat = sharded_gather(
+        features, idx.reshape(b, m * k), mesh, axis_name, batch_axis
+    )
+    return flat.reshape(b, m, k, features.shape[-1])
+
+
+def sharded_sa_level(
+    mlp_apply,
+    xyz: jax.Array,
+    features: jax.Array,
+    *,
+    npoint: int,
+    nsample: int,
+    mesh: Mesh,
+    axis_name: str = "points",
+    batch_axis: Optional[str] = "data",
+    use_xyz: bool = True,
+):
+    """One FULL PointNet2 set-abstraction level with the point axis
+    sharded over the mesh (SURVEY §5.7 made whole-layer, not per-op —
+    VERDICT r4 next #5).
+
+    Composition mirrors ``models.backbone.PointNet2SAModule`` exactly:
+    sharded FPS -> sharded centre/feature gathers -> sharded exact kNN
+    (= the exact-mode dilated kNN: the first k of the sorted k*d
+    candidates are the k nearest, ops/knn.py:93-105) -> sharded
+    neighbour grouping -> EdgeConv centring -> the model's own
+    SharedMLP (``mlp_apply``, replicated: it runs on the (b, npoint, k)
+    tables, which no longer scale with n) -> neighbour max-pool.
+    Every geometry output is bit-identical to the single-device module
+    (tests/test_train.py); only the n-scaling stages ride the mesh.
+
+    Args:
+      mlp_apply: ``(b, m, k, c_in) -> (b, m, k, c_out)`` — the SA
+        level's SharedMLP bound with its parameters (eval mode).
+      xyz: ``(b, n, 3)`` points, n sharded ``P(axis_name)``.
+      features: ``(b, n, c)`` per-point features, sharded like xyz.
+    Returns: ``(new_xyz, center_idx, sample_idx, pooled)`` matching
+      ``SALevelOutput`` field order.
+    """
+    center_idx = sharded_fps(xyz, npoint, mesh, axis_name, batch_axis)
+    new_xyz = sharded_gather(xyz, center_idx, mesh, axis_name, batch_axis)
+    center_feats = sharded_gather(
+        features, center_idx, mesh, axis_name, batch_axis
+    )
+    sample_idx, _ = sharded_knn(
+        xyz, new_xyz, nsample, mesh, axis_name, batch_axis
+    )
+    grouped_xyz = sharded_group(xyz, sample_idx, mesh, axis_name, batch_axis)
+    grouped_feats = sharded_group(
+        features, sample_idx, mesh, axis_name, batch_axis
+    )
+    centered_xyz = grouped_xyz - new_xyz[:, :, None, :]
+    if nsample > 1:
+        grouped_feats = grouped_feats - center_feats[:, :, None, :]
+    if use_xyz:
+        new_features = jnp.concatenate([centered_xyz, grouped_feats], axis=-1)
+    else:
+        new_features = grouped_feats
+    pooled = jnp.max(mlp_apply(new_features), axis=2)
+    return new_xyz, center_idx, sample_idx, pooled
+
+
 def sharded_fps(
     xyz: jax.Array,
     m: int,

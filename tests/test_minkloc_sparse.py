@@ -424,6 +424,97 @@ class TestMinkLocSparseModel:
         assert bool(jnp.isfinite(out).all())
 
 
+def _surface_clouds(rng, b=2, n=256):
+    """Ground plane + one wall: surface geometry, so stride-2 levels
+    merge voxels hard (the regime level_capacity is for)."""
+    out = []
+    for _ in range(b):
+        n_g = n // 2
+        g = np.stack(
+            [rng.rand(n_g) * 2 - 1, rng.rand(n_g) * 2 - 1,
+             rng.randn(n_g) * 0.01], axis=-1)
+        w = np.stack(
+            [rng.rand(n - n_g) * 2 - 1, np.full(n - n_g, 0.3),
+             rng.rand(n - n_g) * 0.8], axis=-1)
+        out.append(np.concatenate([g, w], 0).astype(np.float32))
+    return np.stack(out)
+
+
+class TestLevelCapacity:
+    """Per-level static table capacities (VERDICT r4 next #2)."""
+
+    def test_compacted_bitmatch_full_capacity(self, rng):
+        """When every capacity covers the true occupancy, the compacted
+        forward is exact vs the uncompacted one with shared params:
+        compaction only slices SENTINEL padding off sorted tables, so
+        routes, gathered windows, and masked reductions see the same
+        stored voxels. Tolerance: narrower tables change XLA's reduce
+        lane grouping over the (exactly zero) padding tail — measured
+        max 9.3e-10 abs / 1.8e-7 rel, i.e. 1-2 ulps, not semantics."""
+        pts = jnp.asarray(_surface_clouds(rng))
+        counts = ms.measure_level_occupancy(
+            pts, num_levels=4, quantization_step=0.05
+        )
+        caps = ms.suggest_level_capacities(
+            counts, margin=1.1, align=8, full=pts.shape[1]
+        )
+        assert caps[-1] < pts.shape[1], "surface clouds must merge"
+        full = build_minkloc(dict(SPARSE_PARAM))
+        compact = build_minkloc(dict(SPARSE_PARAM, level_capacity=caps))
+        v = full.init(jax.random.PRNGKey(0), pts)
+        ref = np.asarray(full.apply(v, pts))
+        out, diag = compact.apply(v, pts, return_diagnostics=True)
+        assert int(diag["capacity_overflow"]) == 0
+        np.testing.assert_allclose(
+            np.asarray(out), ref, rtol=2e-6, atol=1e-8
+        )
+
+    def test_overflow_flag_trips(self, rng):
+        """Too-small capacities drop the highest-key voxels: the
+        diagnostic reports the max dropped count and the output stays
+        finite (graceful deterministic degradation, not corruption)."""
+        pts = jnp.asarray(_surface_clouds(rng))
+        counts = ms.measure_level_occupancy(
+            pts, num_levels=4, quantization_step=0.05
+        )
+        caps = [max(int(counts[:, i].max()) // 2, 8) for i in range(5)]
+        model = build_minkloc(dict(SPARSE_PARAM, level_capacity=caps))
+        v = model.init(jax.random.PRNGKey(0), pts)
+        out, diag = model.apply(v, pts, return_diagnostics=True)
+        assert int(diag["capacity_overflow"]) > 0
+        assert bool(jnp.isfinite(out).all())
+
+    def test_measure_and_suggest_helpers(self, rng):
+        pts = _surface_clouds(rng, b=3)
+        counts = ms.measure_level_occupancy(
+            pts, num_levels=4, quantization_step=0.05
+        )
+        assert counts.shape == (3, 5)
+        # downsampling maps each fine voxel into one coarse voxel:
+        # counts are monotone non-increasing across levels
+        assert (np.diff(counts, axis=1) <= 0).all()
+        caps = ms.suggest_level_capacities(counts, margin=1.0, align=8)
+        for lvl in range(5):
+            assert caps[lvl] >= counts[:, lvl].max()
+            assert caps[lvl] % 8 == 0
+
+    def test_capacity_grad_flows(self, rng):
+        pts = jnp.asarray(_surface_clouds(rng))
+        caps = ms.suggest_level_capacities(
+            ms.measure_level_occupancy(pts, num_levels=4, quantization_step=0.05),
+            margin=1.1, align=8, full=pts.shape[1],
+        )
+        model = build_minkloc(dict(SPARSE_PARAM, level_capacity=caps))
+        v = model.init(jax.random.PRNGKey(0), pts)
+
+        def loss(params):
+            return jnp.sum(model.apply({**v, "params": params}, pts) ** 2)
+
+        g = jax.grad(loss)(v["params"])
+        tot = sum(float(jnp.abs(l).sum()) for l in jax.tree_util.tree_leaves(g))
+        assert np.isfinite(tot) and tot > 0
+
+
 class TestSparseSmoothAPTraining:
     @pytest.mark.slow
     def test_recall_after_training(self):
