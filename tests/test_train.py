@@ -563,6 +563,103 @@ class TestShardedOps:
         got_i, _ = sharded_knn(x, x[:, :32], 16, mesh)
         np.testing.assert_array_equal(np.asarray(ref_i), np.asarray(got_i))
 
+    def test_sharded_gather_group_match_single_device(self, rng):
+        from patchaugnet_tpu import ops
+        from patchaugnet_tpu.parallel.sharded_ops import (
+            sharded_gather,
+            sharded_group,
+        )
+
+        mesh = parallel.make_mesh(4)
+        f = jnp.asarray(rng.randn(2, 256, 8).astype(np.float32))
+        idx = jnp.asarray(rng.randint(0, 256, (2, 64)).astype(np.int32))
+        ref = np.asarray(ops.gather(f, idx))
+        got = np.asarray(sharded_gather(f, idx, mesh))
+        np.testing.assert_array_equal(ref, got)
+        gidx = jnp.asarray(rng.randint(0, 256, (2, 32, 10)).astype(np.int32))
+        ref_g = np.asarray(ops.group(f, gidx))
+        got_g = np.asarray(sharded_group(f, gidx, mesh))
+        np.testing.assert_array_equal(ref_g, got_g)
+
+    @pytest.mark.parametrize("mesh_kind", ["points4", "dp_sp_2x4"])
+    def test_sharded_sa_level_matches_module(self, rng, mesh_kind):
+        """A FULL set-abstraction level over the point-sharded mesh
+        bit-matches the single-device PointNet2SAModule (VERDICT r4
+        next #5: SURVEY §5.7's scaling story whole-layer, not per-op).
+        Geometry (FPS/kNN indices) must be bit-identical; the pooled
+        features go through the same replicated SharedMLP on
+        psum-assembled (exact: non-owners add 0.0) gathers."""
+        from jax.sharding import Mesh
+        from patchaugnet_tpu.models.backbone import PointNet2SAModule
+        from patchaugnet_tpu.nn import SharedMLP
+        from patchaugnet_tpu.parallel.sharded_ops import sharded_sa_level
+
+        if mesh_kind == "points4":
+            mesh = Mesh(np.array(jax.devices()[:4]), ("points",))
+            batch_axis = None
+        else:
+            mesh = Mesh(
+                np.array(jax.devices()[:8]).reshape(2, 4), ("data", "points")
+            )
+            batch_axis = "data"
+        b, n, c = 2, 256, 8
+        npoint, nsample = 64, 16
+        widths = (16, 32)
+        xyz = jnp.asarray(rng.rand(b, n, 3).astype(np.float32))
+        feats = jnp.asarray(rng.randn(b, n, c).astype(np.float32))
+        sa = PointNet2SAModule(npoint=npoint, nsample=nsample, mlp=widths)
+        variables = sa.init(jax.random.PRNGKey(0), xyz, feats)
+        ref = sa.apply(variables, xyz, feats)
+        mlp_vars = {col: tree["mlp"] for col, tree in variables.items()}
+        mlp_apply = lambda g: SharedMLP(widths).apply(mlp_vars, g, train=False)
+        new_xyz, center_idx, sample_idx, pooled = sharded_sa_level(
+            mlp_apply, xyz, feats,
+            npoint=npoint, nsample=nsample, mesh=mesh,
+            axis_name="points", batch_axis=batch_axis,
+        )
+        np.testing.assert_array_equal(
+            np.asarray(ref.center_idx), np.asarray(center_idx)
+        )
+        np.testing.assert_array_equal(
+            np.asarray(ref.sample_idx), np.asarray(sample_idx)
+        )
+        np.testing.assert_array_equal(
+            np.asarray(ref.new_xyz), np.asarray(new_xyz)
+        )
+        np.testing.assert_allclose(
+            np.asarray(ref.features), np.asarray(pooled), atol=1e-6
+        )
+
+    def test_sharded_sa_level_large_n(self, rng):
+        """N >> reference 4096 regime: the point axis is what scales —
+        run one SA level at n=2048 on the 8-way points mesh and check
+        the invariants (valid indices, finite pooled features, FPS
+        first pick = row 0) without a big single-device replay."""
+        from jax.sharding import Mesh
+        from patchaugnet_tpu.nn import SharedMLP
+        from patchaugnet_tpu.parallel.sharded_ops import sharded_sa_level
+
+        mesh = Mesh(np.array(jax.devices()[:8]), ("points",))
+        b, n, c = 1, 2048, 4
+        widths = (8,)
+        xyz = jnp.asarray(rng.rand(b, n, 3).astype(np.float32))
+        feats = jnp.asarray(rng.randn(b, n, c).astype(np.float32))
+        mlp = SharedMLP(widths)
+        mlp_vars = mlp.init(
+            jax.random.PRNGKey(0), jnp.zeros((b, 4, 8, 3 + c), jnp.float32)
+        )
+        new_xyz, center_idx, sample_idx, pooled = sharded_sa_level(
+            lambda g: mlp.apply(mlp_vars, g, train=False),
+            xyz, feats, npoint=128, nsample=8, mesh=mesh,
+            axis_name="points", batch_axis=None,
+        )
+        ci, si = np.asarray(center_idx), np.asarray(sample_idx)
+        assert ci.shape == (b, 128) and si.shape == (b, 128, 8)
+        assert ((ci >= 0) & (ci < n)).all() and ((si >= 0) & (si < n)).all()
+        assert int(ci[0, 0]) == 0  # FPS seeds at row 0 (reference semantics)
+        assert np.isfinite(np.asarray(pooled)).all()
+        assert np.isfinite(np.asarray(new_xyz)).all()
+
     def test_sharded_retrieval_matches_single_device(self, rng):
         from patchaugnet_tpu.data import retrieval
         from patchaugnet_tpu.parallel.sharded_ops import sharded_topk_neighbors
