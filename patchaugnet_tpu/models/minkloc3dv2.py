@@ -184,6 +184,7 @@ class _Conv3dBN(nn.Module):
     features: int
     kernel: int = 3
     stride: int = 1
+    dtype: Optional[Any] = None
 
     @nn.compact
     def __call__(self, x, out_mask, *, train: bool = False):
@@ -193,6 +194,7 @@ class _Conv3dBN(nn.Module):
             strides=(self.stride,) * 3,
             padding="SAME",
             use_bias=False,
+            dtype=self.dtype,
             name="conv",
         )(x)
         return MaskedBatchNorm(name="bn")(
@@ -206,41 +208,53 @@ class BasicBlock3d(nn.Module):
 
     planes: int
     use_eca: bool = False
+    dtype: Optional[Any] = None
 
     @nn.compact
     def __call__(self, x, mask, *, train: bool = False):
         residual = x
-        out = _Conv3dBN(self.planes, name="conv1")(x, mask, train=train)
+        out = _Conv3dBN(self.planes, dtype=self.dtype, name="conv1")(
+            x, mask, train=train
+        )
         out = nn.relu(out)
-        out = _Conv3dBN(self.planes, name="conv2")(out, mask, train=train)
+        out = _Conv3dBN(self.planes, dtype=self.dtype, name="conv2")(
+            out, mask, train=train
+        )
         if self.use_eca:
             out = ECALayer(self.planes, name="eca")(out, mask)
         if residual.shape[-1] != self.planes:
-            residual = _Conv3dBN(self.planes, kernel=1, name="downsample")(
-                x, mask, train=train
-            )
+            residual = _Conv3dBN(
+                self.planes, kernel=1, dtype=self.dtype, name="downsample"
+            )(x, mask, train=train)
         return nn.relu(out + residual)
 
 
 class Bottleneck3d(nn.Module):
     planes: int
     expansion: int = 4
+    dtype: Optional[Any] = None
 
     @nn.compact
     def __call__(self, x, mask, *, train: bool = False):
         residual = x
         out = nn.relu(
-            _Conv3dBN(self.planes, kernel=1, name="conv1")(x, mask, train=train)
+            _Conv3dBN(self.planes, kernel=1, dtype=self.dtype, name="conv1")(
+                x, mask, train=train
+            )
         )
         out = nn.relu(
-            _Conv3dBN(self.planes, name="conv2")(out, mask, train=train)
+            _Conv3dBN(self.planes, dtype=self.dtype, name="conv2")(
+                out, mask, train=train
+            )
         )
-        out = _Conv3dBN(self.planes * self.expansion, kernel=1, name="conv3")(
-            out, mask, train=train
-        )
+        out = _Conv3dBN(
+            self.planes * self.expansion, kernel=1, dtype=self.dtype,
+            name="conv3",
+        )(out, mask, train=train)
         if residual.shape[-1] != self.planes * self.expansion:
             residual = _Conv3dBN(
-                self.planes * self.expansion, kernel=1, name="downsample"
+                self.planes * self.expansion, kernel=1, dtype=self.dtype,
+                name="downsample",
             )(x, mask, train=train)
         return nn.relu(out + residual)
 
@@ -255,6 +269,7 @@ class DenseVoxelFPN(nn.Module):
     num_top_down: int = 1
     conv0_kernel_size: int = 5
     block: str = "ECABasicBlock"
+    dtype: Optional[Any] = None
 
     @nn.compact
     def __call__(self, grid, mask, *, train: bool = False):
@@ -271,9 +286,10 @@ class DenseVoxelFPN(nn.Module):
                 > 0
             )
 
-        x = _Conv3dBN(self.planes[0], kernel=self.conv0_kernel_size, name="conv0")(
-            grid, masks[0], train=train
-        )
+        x = _Conv3dBN(
+            self.planes[0], kernel=self.conv0_kernel_size, dtype=self.dtype,
+            name="conv0",
+        )(grid, masks[0], train=train)
         x = nn.relu(x)
         feature_maps = []
         fm_masks = []
@@ -285,19 +301,21 @@ class DenseVoxelFPN(nn.Module):
             # stride-2 downsample keeps current channel count, then blocks
             # change it (minkfpn.py:44-47, 75-82)
             x = nn.relu(
-                _Conv3dBN(x.shape[-1], kernel=2, stride=2, name=f"down{ndx}")(
-                    x, masks[ndx + 1], train=train
-                )
+                _Conv3dBN(
+                    x.shape[-1], kernel=2, stride=2, dtype=self.dtype,
+                    name=f"down{ndx}",
+                )(x, masks[ndx + 1], train=train)
             )
             for li in range(n_layers):
                 if bottleneck:
-                    x = Bottleneck3d(plane, name=f"block{ndx}_{li}")(
-                        x, masks[ndx + 1], train=train
-                    )
+                    x = Bottleneck3d(
+                        plane, dtype=self.dtype, name=f"block{ndx}_{li}"
+                    )(x, masks[ndx + 1], train=train)
                 else:
-                    x = BasicBlock3d(plane, use_eca=use_eca, name=f"block{ndx}_{li}")(
-                        x, masks[ndx + 1], train=train
-                    )
+                    x = BasicBlock3d(
+                        plane, use_eca=use_eca, dtype=self.dtype,
+                        name=f"block{ndx}_{li}",
+                    )(x, masks[ndx + 1], train=train)
             if num_bottom_up - 1 - self.num_top_down <= ndx < num_bottom_up - 1:
                 feature_maps.append(x)
                 fm_masks.append(masks[ndx + 1])
@@ -307,7 +325,8 @@ class DenseVoxelFPN(nn.Module):
         # bias-free like MinkowskiConvolution (minkfpn.py:49-62 uses the
         # ME default bias=False throughout)
         x = nn.Conv(
-            self.out_channels, (1, 1, 1), use_bias=False, name="lateral0"
+            self.out_channels, (1, 1, 1), use_bias=False, dtype=self.dtype,
+            name="lateral0",
         )(x) * m(level)
         for ndx in range(self.num_top_down):
             level -= 1
@@ -315,11 +334,11 @@ class DenseVoxelFPN(nn.Module):
             # sites (the lateral's coordinate map) before the sparse add
             x = nn.ConvTranspose(
                 self.out_channels, (2, 2, 2), strides=(2, 2, 2),
-                use_bias=False, name=f"tconv{ndx}"
+                use_bias=False, dtype=self.dtype, name=f"tconv{ndx}"
             )(x) * m(level)
             lateral = nn.Conv(
                 self.out_channels, (1, 1, 1), use_bias=False,
-                name=f"lateral{ndx + 1}"
+                dtype=self.dtype, name=f"lateral{ndx + 1}"
             )(feature_maps[-ndx - 1]) * m(level)
             x = x + lateral
         out_mask = masks[num_bottom_up - self.num_top_down]
@@ -384,6 +403,10 @@ class MinkLocDense(nn.Module):
     grid_size: int = 48
     polar_grid: Tuple[int, int, int] = (64, 32, 16)
     normalize_embeddings: bool = False
+    # COMPUTE_DTYPE "bfloat16": bf16 conv/block trunk, f32 quantization
+    # and masked-BN statistics, f32 pooling + descriptor — the same
+    # mixed-precision contract as MinkLocSparse (minkloc_sparse.py).
+    compute_dtype: Optional[Any] = None
 
     @nn.compact
     def __call__(self, points: jax.Array, *, train: bool = False) -> jax.Array:
@@ -407,8 +430,12 @@ class MinkLocDense(nn.Module):
             num_top_down=self.num_top_down,
             conv0_kernel_size=self.conv0_kernel_size,
             block=self.block,
+            dtype=self.compute_dtype,
             name="backbone",
         )(grid, mask, train=train)
+        if self.compute_dtype is not None:
+            # pooling (GeM powers) and the descriptor stay f32
+            feats = feats.astype(jnp.float32)
         pool_dim = (
             self.feature_size
             if self.pooling in ("MAC", "SPoC", "GeM")
@@ -507,4 +534,5 @@ def build_minkloc(param: Dict[str, Any]):
         coordinates=param.get("coordinates", "cartesian"),
         grid_size=grid_size,
         normalize_embeddings=param.get("normalize_embeddings", False),
+        compute_dtype=param.get("COMPUTE_DTYPE", param.get("compute_dtype")),
     )
