@@ -11,16 +11,19 @@ instead of a sort. ~6x faster end to end.
 Matches ``ops.knn`` exactly: ascending distance, ties resolve to the
 lowest candidate index.
 
-(Fusion history: a fully fused variant computing distances in-kernel
-from (qb, 1) x (1, n) coordinate blocks miscompiles under current
-Mosaic — last-dim-1 block relayouts produce wrong results while
-interpret mode is exact. Round 2 rebuilt it with 8-sublane-padded
-coordinates and a real (qb, 8) @ (8, n) in-kernel matmul: bit-exact
-against this split path on-chip (indices AND distances), but ~4%
-SLOWER at the level-1 shape — the tiny per-block matmul serializes
-with the VPU extraction sweeps, while the split path's one big XLA
-matmul pipelines against the extraction kernel's double-buffered HBM
-reads. The extraction ALU dominates either way, so the split stays.)
+(Fusion history: the fully fused variant computing distances in-kernel
+from (qb, 1) x (1, n) coordinate broadcasts MISCOMPILED under round-1
+Mosaic — last-dim-1 block relayouts produced wrong results on-chip
+while interpret mode was exact — so rounds 1-4 shipped the split
+XLA-distance + extraction path (a round-2 (qb, 8) @ (8, n) in-kernel
+matmul rebuild was bit-exact but ~4% slower). Re-probed 2026-08-20 on
+current Mosaic (`_probe_knn_pair.py` / `_probe_knn_fair.py`): the
+broadcast pattern now compiles bit-exactly, and the fused kernel
+(``knn_fused_pallas``) is 1.09x the split path at the level-1 shape
+while never materialising the (b, m, n) distance matrix in HBM
+(512 MB at B=32, m=1024, n=4096). ``knn_pallas`` dispatches to it for
+3-d points at flat-tile scale; the split path remains for d != 3 and
+as the chunked big-n fallback.)
 """
 from __future__ import annotations
 
@@ -36,8 +39,15 @@ from ..pairwise import pairwise_sqdist
 
 
 def _extract_kernel(k, dist_in, idx_ref, d2_ref, dist_ref):
-    qb, n = dist_in.shape
     dist_ref[:, :] = dist_in[:, :]
+    _extract_sweeps(k, idx_ref, d2_ref, dist_ref)
+
+
+def _extract_sweeps(k, idx_ref, d2_ref, dist_ref):
+    """k min-extraction sweeps over the populated ``dist_ref`` tile
+    (the shared tail of the split and fused kernels): ascending value,
+    lowest-index tie-break, extracted lanes masked to 1e30."""
+    qb, n = dist_ref.shape
     lane = jax.lax.broadcasted_iota(jnp.int32, (qb, n), 1)
     col = jax.lax.broadcasted_iota(jnp.int32, (qb, k), 1)
     idx_ref[:, :] = jnp.zeros((qb, k), jnp.int32)
@@ -55,6 +65,136 @@ def _extract_kernel(k, dist_in, idx_ref, d2_ref, dist_ref):
         return 0
 
     jax.lax.fori_loop(0, k, body, 0)
+
+
+def _fused_knn_kernel(k, q0, q1, q2, y0, y1, y2, idx_ref, d2_ref, dist_ref):
+    """Distance computation fused into the extraction kernel.
+
+    ``q_c``: (qb, 1) query-coordinate columns; ``y_c``: (1, n) candidate
+    rows. The (qb, 1) - (1, n) broadcast subtract reproduces
+    ``ops.pairwise.pairwise_sqdist``'s d<=4 arithmetic bit-for-bit
+    (zeros + per-coordinate diff^2 accumulated in the same order, then
+    the max(., 0) clamp), so the fused path is bit-identical to
+    split XLA-distance + ``topk_extract_pallas`` — while the (b, m, n)
+    distance matrix never exists in HBM at all (512 MB written + read
+    back at the level-1 shape).
+
+    (Mosaic history: this exact (qb, 1) x (1, n) broadcast pattern
+    MISCOMPILED under round-1 Mosaic — wrong results on-chip, exact in
+    interpret mode — which is why the split path was built. Re-probed
+    2026-08-20 (`_probe_knn_pair.py`): bit-exact on current Mosaic.)
+    """
+    acc = jnp.zeros(dist_ref.shape, jnp.float32)
+    for q, y in ((q0, y0), (q1, y1), (q2, y2)):
+        diff = q[:, :] - y[:, :]
+        acc = acc + diff * diff
+    dist_ref[:, :] = jnp.maximum(acc, 0.0)
+    _extract_sweeps(k, idx_ref, d2_ref, dist_ref)
+
+
+@partial(jax.jit, static_argnums=(2,), static_argnames=("query_block", "interpret"))
+def knn_fused_pallas(
+    xyz: jax.Array,
+    new_xyz: jax.Array,
+    k: int,
+    query_block: int = 256,
+    interpret: bool = False,
+):
+    """Exact kNN with the distance matrix computed inside the kernel.
+
+    Same contract as :func:`knn_pallas` (ascending d^2, lowest-index
+    ties) restricted to 3-coordinate points. Requires n to fit one
+    VMEM tile row (the caller gates on ``_VMEM_TILE_BUDGET``).
+    """
+    b, n, dd = xyz.shape
+    m = new_xyz.shape[1]
+    assert dd == 3 and new_xyz.shape[-1] == 3, (xyz.shape, new_xyz.shape)
+    qb = min(query_block, m)
+    assert m % qb == 0, (m, qb)
+    qs = [new_xyz[..., c][..., None].astype(jnp.float32) for c in range(3)]
+    ys = [xyz[..., c][:, None, :].astype(jnp.float32) for c in range(3)]
+    qspec = pl.BlockSpec((None, qb, 1), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM)
+    yspec = pl.BlockSpec((None, 1, n), lambda i, j: (i, 0, 0), memory_space=pltpu.VMEM)
+    ospec = pl.BlockSpec((None, qb, k), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        partial(_fused_knn_kernel, k),
+        grid=(b, m // qb),
+        in_specs=[qspec] * 3 + [yspec] * 3,
+        out_specs=(ospec, ospec),
+        out_shape=(
+            jax.ShapeDtypeStruct((b, m, k), jnp.int32),
+            jax.ShapeDtypeStruct((b, m, k), jnp.float32),
+        ),
+        scratch_shapes=[pltpu.VMEM((qb, n), jnp.float32)],
+        interpret=interpret,
+    )(*qs, *ys)
+
+
+def _extract_pair_kernel(k, dist_in, idx_ref, d2_ref, dist_ref):
+    """``_extract_kernel`` unrolled two extractions per scratch round-trip.
+
+    The flat kernel pays a full (qb, n) scratch read-modify-write per
+    extracted neighbour; here the first extraction's mask is applied as
+    an in-flight VALUE (``dm``) so the scratch tile is read and written
+    once per TWO neighbours — identical f32 arithmetic and identical
+    lowest-index tie-breaks by construction (``mn2``/``sel2`` reduce
+    over exactly the tile the sequential kernel would have stored).
+    For odd ``k`` the final pair's second extraction has no column to
+    land in (``col == k`` never holds) and is dead work.
+    """
+    qb, n = dist_in.shape
+    dist_ref[:, :] = dist_in[:, :]
+    lane = jax.lax.broadcasted_iota(jnp.int32, (qb, n), 1)
+    col = jax.lax.broadcasted_iota(jnp.int32, (qb, k), 1)
+    idx_ref[:, :] = jnp.zeros((qb, k), jnp.int32)
+    d2_ref[:, :] = jnp.zeros((qb, k), jnp.float32)
+
+    def body(t, _):
+        j = t * 2
+        d = dist_ref[:, :]
+        mn1 = jnp.min(d, axis=1, keepdims=True)             # (qb, 1)
+        sel1 = jnp.min(
+            jnp.where(d == mn1, lane, jnp.int32(n)), axis=1, keepdims=True
+        ).astype(jnp.int32)
+        dm = jnp.where(lane == sel1, jnp.float32(1e30), d)
+        mn2 = jnp.min(dm, axis=1, keepdims=True)
+        sel2 = jnp.min(
+            jnp.where(dm == mn2, lane, jnp.int32(n)), axis=1, keepdims=True
+        ).astype(jnp.int32)
+        idx_ref[:, :] = jnp.where(
+            col == j, sel1, jnp.where(col == j + 1, sel2, idx_ref[:, :])
+        )
+        d2_ref[:, :] = jnp.where(
+            col == j, mn1, jnp.where(col == j + 1, mn2, d2_ref[:, :])
+        )
+        dist_ref[:, :] = jnp.where(lane == sel2, jnp.float32(1e30), dm)
+        return 0
+
+    jax.lax.fori_loop(0, (k + 1) // 2, body, 0)
+
+
+@partial(jax.jit, static_argnums=(1, 2), static_argnames=("query_block", "interpret"))
+def topk_extract_pair_pallas(
+    dist: jax.Array, k: int, query_block: int = 256, interpret: bool = False
+):
+    """:func:`topk_extract_pallas` via the pair-extraction kernel."""
+    b, m, n = dist.shape
+    qb = min(query_block, m)
+    assert m % qb == 0, (m, qb)
+    spec = pl.BlockSpec((None, qb, n), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM)
+    ospec = pl.BlockSpec((None, qb, k), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        partial(_extract_pair_kernel, k),
+        grid=(b, m // qb),
+        in_specs=[spec],
+        out_specs=(ospec, ospec),
+        out_shape=(
+            jax.ShapeDtypeStruct((b, m, k), jnp.int32),
+            jax.ShapeDtypeStruct((b, m, k), jnp.float32),
+        ),
+        scratch_shapes=[pltpu.VMEM((qb, n), jnp.float32)],
+        interpret=interpret,
+    )(dist.astype(jnp.float32))
 
 
 @partial(jax.jit, static_argnums=(1, 2), static_argnames=("query_block", "interpret"))
@@ -239,14 +379,23 @@ def knn_pallas(
 ):
     """Exact kNN: ``(b, n, 3) x (b, m, 3) -> idx (b, m, k), d2 (b, m, k)``.
 
-    Flat extraction for reference-scale n (fastest: 13 ms at B=32,
-    m=1024, n=4096, k=40); the two-level chunked variant kicks in only
-    when the flat (query_block x n) tile would blow the VMEM budget
-    (chunking costs ~3x at n=4096 from grid overhead but scales to
-    n >> 4096)."""
+    3-d points at flat-tile scale take the FUSED kernel (distance
+    computed in-kernel from (qb,1)x(1,n) coordinate broadcasts — the
+    (b, m, n) distance matrix never touches HBM; bit-exact vs the split
+    path on-chip, 1.09x at the level-1 shape, `_probe_knn_fair.py`).
+    Other dims use XLA distance + flat extraction; the two-level
+    chunked variant kicks in only when the flat (query_block x n) tile
+    would blow the VMEM budget (chunking costs ~3x at n=4096 from grid
+    overhead but scales to n >> 4096)."""
+    n = xyz.shape[-2]
+    m = new_xyz.shape[-2]
+    qb = min(query_block, m)
+    flat_ok = qb * n <= _VMEM_TILE_BUDGET
+    if flat_ok and xyz.shape[-1] == 3 and m % qb == 0:
+        return knn_fused_pallas(
+            xyz, new_xyz, k, query_block=query_block, interpret=interpret
+        )
     d = pairwise_sqdist(new_xyz, xyz)
-    n = d.shape[-1]
-    qb = min(query_block, d.shape[-2])
-    if qb * n > _VMEM_TILE_BUDGET:
+    if not flat_ok:
         return topk_extract_chunked(d, k, query_block, interpret=interpret)
     return topk_extract_pallas(d, k, query_block, interpret=interpret)

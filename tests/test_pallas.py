@@ -49,6 +49,50 @@ class TestPallasKNN:
         assert _pallas_query_block(1000) == 200
         assert _pallas_query_block(257 * 2) is None or 514 % _pallas_query_block(514) == 0
 
+    @pytest.mark.parametrize("b,n,m,k,qb", [(2, 256, 128, 8, 64), (1, 304, 64, 20, 64)])
+    def test_fused_matches_topk(self, rng, b, n, m, k, qb):
+        """The fused kernel (in-kernel distances) must return the exact
+        kNN indices; distances may differ from the XLA path by FMA
+        rounding in interpret mode (bit-exact on the real chip,
+        `_probe_knn_fair.py` 2026-08-20)."""
+        from patchaugnet_tpu.ops.pallas.knn import knn_fused_pallas
+
+        x = jnp.asarray(rng.rand(b, n, 3).astype(np.float32))
+        q = jnp.asarray(rng.rand(b, m, 3).astype(np.float32))
+        ri, rd = knn(x, q, k)
+        gi, gd = knn_fused_pallas(x, q, k, query_block=qb, interpret=True)
+        np.testing.assert_array_equal(np.asarray(ri), np.asarray(gi))
+        np.testing.assert_allclose(np.asarray(rd), np.asarray(gd), atol=1e-6)
+
+    def test_knn_pallas_dispatches_fused_for_3d(self, rng):
+        """3-d points at flat-tile scale take the fused kernel inside
+        knn_pallas; results must match the XLA reference."""
+        x = jnp.asarray(rng.rand(2, 256, 3).astype(np.float32))
+        q = jnp.asarray(rng.rand(2, 128, 3).astype(np.float32))
+        ri, rd = knn(x, q, 8)
+        gi, gd = knn_pallas(x, q, 8, query_block=64, interpret=True)
+        np.testing.assert_array_equal(np.asarray(ri), np.asarray(gi))
+        np.testing.assert_allclose(np.asarray(rd), np.asarray(gd), atol=1e-6)
+        # non-3d features must still take the split path (and agree)
+        x5 = jnp.asarray(rng.rand(2, 256, 5).astype(np.float32))
+        q5 = jnp.asarray(rng.rand(2, 128, 5).astype(np.float32))
+        ri5, _ = knn(x5, q5, 8)
+        gi5, _ = knn_pallas(x5, q5, 8, query_block=64, interpret=True)
+        np.testing.assert_array_equal(np.asarray(ri5), np.asarray(gi5))
+
+    def test_pair_extraction_matches_flat(self, rng):
+        """The two-per-round-trip extraction kernel is bit-identical to
+        the sequential flat kernel (kept as a probe-backed alternative;
+        on-chip it measured within ±5% of flat, `_probe_knn_pair.py`)."""
+        from patchaugnet_tpu.ops.pallas.knn import topk_extract_pair_pallas
+
+        d = jnp.asarray(rng.rand(2, 64, 200).astype(np.float32))
+        for k in (6, 7):  # even + odd (dead second extraction)
+            fi, fv = topk_extract_pair_pallas(d, k, query_block=64, interpret=True)
+            ri, rv = topk_extract_pallas(d, k, query_block=64, interpret=True)
+            np.testing.assert_array_equal(np.asarray(ri), np.asarray(fi))
+            np.testing.assert_array_equal(np.asarray(rv), np.asarray(fv))
+
 
 class TestChunkedExtraction:
     def test_exact_with_ties(self, rng):
