@@ -45,6 +45,12 @@ def get_args():
                    help="override the config EXP_DIR")
     p.add_argument("--num-points", type=int, default=None,
                    help="override NUM_POINTS (and the synthetic scene size)")
+    p.add_argument("--synthetic-noise", type=float, default=None,
+                   help="synthetic dataset only: per-point gaussian "
+                        "noise stddev added to every scene cloud "
+                        "(seeded; the bench_quality.py hardening, so "
+                        "random-init recall starts low and the quality "
+                        "lift is attributable to training)")
     p.add_argument("--print-flops", action="store_true",
                    help="print XLA cost-analysis FLOPs at startup "
                         "(the reference's fvcore report)")
@@ -132,6 +138,18 @@ def main():
     test_ds = data.PlaceRecognitionDataset(
         cfg["dataset"], for_training=False, **ds_kwargs,
     )
+    if args.synthetic_noise:
+        if cfg["dataset"] != "synthetic":
+            raise SystemExit("--synthetic-noise requires --dataset synthetic")
+        for ds in (train_ds, test_ds):
+            r = np.random.RandomState(7)
+            ds.scene._clouds = ds.scene._clouds + (
+                r.randn(*ds.scene._clouds.shape).astype(np.float32)
+                * args.synthetic_noise
+            )
+            ds.scene._pc_cache.clear()
+            ds.scene._pc_order.clear()
+        logger.info(f"synthetic scene hardened: noise {args.synthetic_noise}")
     logger.info(
         f"train records: {len(train_ds)}, test records: {len(test_ds)}, "
         f"trips: {train_ds.scene.trip_names}"
