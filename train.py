@@ -269,6 +269,11 @@ def main():
         return
 
     total_iterations = 0
+    # the reference evals only on --eval (its per-epoch eval is commented
+    # out, train_place_recognition.py:564-566); EVAL_EVERY_N_EPOCHS is the
+    # TPU-era opt-in that turns it back on for quality curves (the
+    # SmoothAP path above already honours it)
+    eval_every = cfg.get("EVAL_EVERY_N_EPOCHS", 0)
     for epoch in range(starting_epoch, cfg["MAX_EPOCH"]):
         logger.info(f"**** EPOCH {epoch:03d} ****")
         summary = train.train_one_epoch(
@@ -281,6 +286,11 @@ def main():
         state = summary.pop("state")
         total_iterations = summary["total_iterations"]
         logger.info(f"epoch {epoch}: {summary}")
+        if eval_every and (epoch + 1) % eval_every == 0 and len(test_ds) > 0:
+            train.evaluate(
+                state.variables, forward, test_ds, logger=logger,
+                writer=writer, epoch=epoch,
+            )
     writer.close()
 
 
