@@ -52,9 +52,21 @@ class NetVLADBase(nn.Module):
     # bf16 inputs and f32 MXU accumulation; softmax, the (B, C, K)
     # residual subtraction and the intra-norm stay f32. None = exact f32.
     dtype: Optional[jnp.dtype] = None
+    # Point-axis sharding (parallel/sharded_model.py): when the N axis of
+    # ``x`` is a shard_map-local slice of a mesh-sharded cloud, name the
+    # mesh axis here — the two N-reductions (``a_sum`` and the residual
+    # einsum) finish with a psum over ICI; the per-point work (assignment
+    # matmul, BN, softmax) stays local. Eval-only: BN batch stats would
+    # otherwise reduce over the local shard. None = single-device.
+    psum_axis: Optional[str] = None
 
     @nn.compact
     def __call__(self, x: jax.Array, *, train: bool = False) -> jax.Array:
+        if self.psum_axis is not None and train:
+            raise ValueError(
+                "psum_axis is an eval-serving path: train-mode BN would "
+                "compute per-shard batch stats"
+            )
         init = _scaled_normal(self.feature_size)
         cluster_w = self.param(
             "cluster_weights", init, (self.feature_size, self.cluster_size)
@@ -78,11 +90,14 @@ class NetVLADBase(nn.Module):
             activation = activation + bias
         activation = jax.nn.softmax(activation, axis=-1)   # (B, N, K)
         a_sum = jnp.sum(activation, axis=1, keepdims=True) # (B, 1, K)
-        a = a_sum * cluster_w2                             # (B, C, K)
         ac = activation if self.dtype is None else activation.astype(self.dtype)
         vlad = jnp.einsum(
             "bnk,bnc->bck", ac, xc, preferred_element_type=jnp.float32
         )
+        if self.psum_axis is not None:
+            a_sum = jax.lax.psum(a_sum, self.psum_axis)
+            vlad = jax.lax.psum(vlad, self.psum_axis)
+        a = a_sum * cluster_w2                             # (B, C, K)
         vlad = vlad - a
         return l2_normalize(vlad, axis=1)                  # intra-norm over C
 
@@ -131,6 +146,11 @@ class SpatialPyramidNetVLAD(nn.Module):
     # Compute dtype for the per-scale VLAD cores (the N-sized work);
     # the AFA/FC heads after aggregation are (B, C*K)-sized and stay f32.
     dtype: Optional[jnp.dtype] = None
+    # Per-scale psum axes (see NetVLADBase.psum_axis): entry i names the
+    # mesh axis sharding features[i]'s point dim, or None for replicated
+    # scales. Only the finest scale scales with N in PatchAugNet, so a
+    # typical value is (None, None, "points").
+    psum_axes: Optional[Sequence[Optional[str]]] = None
 
     @nn.compact
     def __call__(self, features: Sequence[jax.Array], *, train: bool = False) -> jax.Array:
@@ -141,6 +161,9 @@ class SpatialPyramidNetVLAD(nn.Module):
                 self.cluster_size[i],
                 self.add_batch_norm,
                 dtype=self.dtype,
+                psum_axis=(
+                    self.psum_axes[i] if self.psum_axes is not None else None
+                ),
                 name=f"vlad{i}",
             )(features[i], train=train)
             for i in range(len(features))

@@ -18,6 +18,7 @@ from .sharded_ops import (
     sharded_group,
     sharded_sa_level,
 )
+from .sharded_model import sharded_fp_level, sharded_patchaugnet_descriptor
 
 __all__ = [
     "make_mesh",
@@ -37,4 +38,6 @@ __all__ = [
     "sharded_gather",
     "sharded_group",
     "sharded_sa_level",
+    "sharded_fp_level",
+    "sharded_patchaugnet_descriptor",
 ]

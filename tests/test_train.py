@@ -660,6 +660,77 @@ class TestShardedOps:
         assert np.isfinite(np.asarray(pooled)).all()
         assert np.isfinite(np.asarray(new_xyz)).all()
 
+    @pytest.mark.parametrize("mesh_kind", ["points4", "dp_sp_2x4"])
+    def test_sharded_patchaugnet_forward_matches_single_device(
+        self, rng, mesh_kind
+    ):
+        """The FULL point-axis-sharded PatchAugNet eval forward
+        (parallel/sharded_model.py) vs the single-device model: fp
+        features must be bit-equal on a points-only mesh (every stage is
+        either shard-local or psum-of-exact-zeros assembled); the
+        descriptor differs only by the fine-scale VLAD psum's
+        reassociation of its two N-sums (measured 4.5e-8..5.4e-7 on this
+        backend; asserted at 1e-5)."""
+        from jax.sharding import Mesh
+        from patchaugnet_tpu.models import PatchAugNet
+        from patchaugnet_tpu.parallel.sharded_model import (
+            sharded_patchaugnet_descriptor,
+        )
+
+        if mesh_kind == "points4":
+            mesh = Mesh(np.array(jax.devices()[:4]), ("points",))
+            batch_axis = None
+        else:
+            mesh = Mesh(
+                np.array(jax.devices()[:8]).reshape(2, 4), ("data", "points")
+            )
+            batch_axis = "data"
+        x = jnp.asarray(rng.rand(2, 128, 3).astype(np.float32))
+        model = PatchAugNet(param=SMALL_CFG, use_a2a_recon=False)
+        variables = jax.jit(model.init, static_argnames=("train",))(
+            jax.random.PRNGKey(0), x, train=False
+        )
+        ref = model.apply(variables, x, train=False)
+        desc, fp_features = sharded_patchaugnet_descriptor(
+            variables, SMALL_CFG, x, mesh,
+            axis_name="points", batch_axis=batch_axis,
+        )
+        np.testing.assert_allclose(
+            np.asarray(desc), np.asarray(ref.global_desc), atol=1e-5
+        )
+        for got, want in zip(fp_features, ref.fp_features):
+            if batch_axis is None:
+                assert np.asarray(got).tobytes() == np.asarray(want).tobytes()
+            else:
+                np.testing.assert_allclose(
+                    np.asarray(got), np.asarray(want), atol=1e-6
+                )
+
+    def test_sharded_patchaugnet_forward_large_n(self, rng):
+        """N >> the reference's 4096 cap: n=1024 with SMALL_CFG's
+        SAMPLING (8x the configured NUM_POINTS) over the full 8-way
+        points mesh still matches the single-device forward — the
+        point-axis scaling story end to end, not per-op."""
+        from jax.sharding import Mesh
+        from patchaugnet_tpu.models import PatchAugNet
+        from patchaugnet_tpu.parallel.sharded_model import (
+            sharded_patchaugnet_descriptor,
+        )
+
+        mesh = Mesh(np.array(jax.devices()[:8]), ("points",))
+        x = jnp.asarray(rng.rand(1, 1024, 3).astype(np.float32))
+        model = PatchAugNet(param=SMALL_CFG, use_a2a_recon=False)
+        variables = jax.jit(model.init, static_argnames=("train",))(
+            jax.random.PRNGKey(1), x, train=False
+        )
+        ref = model.apply(variables, x, train=False)
+        desc, _ = sharded_patchaugnet_descriptor(
+            variables, SMALL_CFG, x, mesh
+        )
+        np.testing.assert_allclose(
+            np.asarray(desc), np.asarray(ref.global_desc), atol=1e-5
+        )
+
     def test_sharded_retrieval_matches_single_device(self, rng):
         from patchaugnet_tpu.data import retrieval
         from patchaugnet_tpu.parallel.sharded_ops import sharded_topk_neighbors
