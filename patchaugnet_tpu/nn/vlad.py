@@ -250,6 +250,10 @@ class PPTSpatialPyramidNetVLAD(nn.Module):
     gating: bool = True
     add_batch_norm: bool = True
     dtype: Optional[jnp.dtype] = None
+    # Per-scale psum axes (see SpatialPyramidNetVLAD.psum_axes) — PPT-Net
+    # sharding uses (None, None, None, "points"): only the finest of the
+    # four scales carries the N axis.
+    psum_axes: Optional[Sequence[Optional[str]]] = None
 
     @nn.compact
     def __call__(self, features: Sequence[jax.Array], *, train: bool = False) -> jax.Array:
@@ -260,6 +264,9 @@ class PPTSpatialPyramidNetVLAD(nn.Module):
                 self.cluster_size[i],
                 self.add_batch_norm,
                 dtype=self.dtype,
+                psum_axis=(
+                    self.psum_axes[i] if self.psum_axes is not None else None
+                ),
                 name=f"vlad{i}",
             )(f, train=train)
             flats.append(_flatten_ck(v))

@@ -18,7 +18,11 @@ from .sharded_ops import (
     sharded_group,
     sharded_sa_level,
 )
-from .sharded_model import sharded_fp_level, sharded_patchaugnet_descriptor
+from .sharded_model import (
+    sharded_fp_level,
+    sharded_patchaugnet_descriptor,
+    sharded_pptnet_descriptor,
+)
 
 __all__ = [
     "make_mesh",
@@ -40,4 +44,5 @@ __all__ = [
     "sharded_sa_level",
     "sharded_fp_level",
     "sharded_patchaugnet_descriptor",
+    "sharded_pptnet_descriptor",
 ]

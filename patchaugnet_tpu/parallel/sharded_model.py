@@ -39,7 +39,13 @@ from jax.sharding import Mesh, PartitionSpec as P
 from jax import shard_map
 
 from ..models.backbone import PointNet2FPModule, PointNet2SAModule
-from ..nn import SharedMLP, SpatialPyramidNetVLAD
+from ..nn import (
+    GroupSA,
+    PPTSpatialPyramidNetVLAD,
+    SharedMLP,
+    SpatialPyramidNetVLAD,
+    l2_normalize,
+)
 from .sharded_ops import sharded_sa_level
 
 
@@ -215,6 +221,122 @@ def sharded_patchaugnet_descriptor(
 
     if cdt is not None:
         # surface contract matches models/patch_aug_net.py:146-151
+        desc = desc.astype(jnp.float32)
+        fp_features = [f.astype(jnp.float32) for f in fp_features]
+    return desc, fp_features
+
+
+def sharded_pptnet_descriptor(
+    variables: Dict[str, Any],
+    param: Dict[str, Any],
+    x: jax.Array,
+    mesh: Mesh,
+    *,
+    axis_name: str = "points",
+    batch_axis: Optional[str] = None,
+    use_normalize: bool = True,
+) -> Tuple[jax.Array, List[jax.Array]]:
+    """PPT-Net global-descriptor forward over a point-sharded mesh.
+
+    Same decomposition as :func:`sharded_patchaugnet_descriptor` for the
+    4-level pyramid (models/pptnet.py): SA0 sharded (its GroupSA runs
+    replicated on the pooled ``(b, SAMPLING[0], 64)`` table), SA1-3 and
+    FP3-1 replicated, FP0 shard-local, and the finest of the four
+    SPVLAD scales psum-reduces its two N-sums. Returns
+    ``(desc, fp_features)`` matching ``PPTNetOutput`` fields; eval-only.
+    """
+    p = param
+    sap, knn_k, fs, gp = p["SAMPLING"], p["KNN"], p["FEATURE_SIZE"], p["GROUP"]
+    cdt = p.get("COMPUTE_DTYPE")
+    cdt = jnp.dtype(cdt) if cdt is not None else None
+    if x.ndim == 4:
+        x = x.squeeze(1)
+    xyz = x
+
+    # --- SA0 sharded; widths pptnet.py:76-83 (= models/pptnet.py sa_specs)
+    mlp0 = SharedMLP((32, 32, 64), dtype=cdt)
+    mlp0_vars = _subtree(variables, "sa0", "mlp")
+    xyz1, _, _, feats1 = sharded_sa_level(
+        lambda g: mlp0.apply(mlp0_vars, g, train=False),
+        xyz,
+        x,
+        npoint=sap[0],
+        nsample=knn_k[0],
+        mesh=mesh,
+        axis_name=axis_name,
+        batch_axis=batch_axis,
+    )
+    # grouped self-attention on the pooled (b, sap[0], 64) — replicated
+    sa0_att = GroupSA(64, gp, dtype=cdt)
+    feats1 = sa0_att.apply(
+        _subtree(variables, "sa0", "sa"), feats1, train=False
+    )
+
+    # --- SA1-3 replicated ---
+    widths = [(64, 64, 128), (128, 128, 256), (256, 256, 512)]
+    l_xyz = [xyz, xyz1]
+    l_feats: List[Optional[jax.Array]] = [x, feats1]
+    for i, w in enumerate(widths, start=1):
+        sa = PointNet2SAModule(
+            npoint=sap[i], nsample=knn_k[i], mlp=w, gp=gp, dtype=cdt
+        )
+        o = sa.apply(
+            _subtree(variables, f"sa{i}"), l_xyz[i], l_feats[i], train=False
+        )
+        l_xyz.append(o.new_xyz)
+        l_feats.append(o.features)
+
+    # --- FP3-1 replicated (mlps pptnet.py:85-88) ---
+    fp_specs = [
+        (256, 256, fs[0]),
+        (256, fs[1]),
+        (256, fs[2]),
+        (256, fs[3]),
+    ]
+    for i in range(3, 0, -1):
+        fp = PointNet2FPModule(mlp=fp_specs[i], dtype=cdt)
+        l_feats[i] = fp.apply(
+            _subtree(variables, f"fp{i}"),
+            l_xyz[i], l_xyz[i + 1], l_feats[i], l_feats[i + 1], train=False,
+        )
+
+    # --- FP0 shard-local ---
+    fp0 = PointNet2FPModule(mlp=fp_specs[0], dtype=cdt)
+    l_feats[0] = sharded_fp_level(
+        fp0,
+        _subtree(variables, "fp0"),
+        l_xyz[0], l_xyz[1], l_feats[0], l_feats[1],
+        mesh=mesh, axis_name=axis_name, batch_axis=batch_axis,
+    )
+    fp_features = [l_feats[3], l_feats[2], l_feats[1], l_feats[0]]
+
+    # --- 4-scale SPVLAD, finest scale psum-reduced ---
+    agg = PPTSpatialPyramidNetVLAD(
+        feature_size=fs,
+        max_samples=p["MAX_SAMPLES"],
+        cluster_size=p["CLUSTER_SIZE"],
+        output_dim=p["OUTPUT_DIM"],
+        gating=p["GATING"],
+        add_batch_norm=True,
+        dtype=cdt,
+        psum_axes=(None, None, None, axis_name),
+    )
+    agg_vars = _subtree(variables, "aggregation")
+    rep = P(batch_axis, None, None)
+
+    def agg_local(f3, f2, f1, f0, av):
+        d = agg.apply(av, [f3, f2, f1, f0], train=False)
+        return l2_normalize(d, axis=-1) if use_normalize else d
+
+    desc = shard_map(
+        agg_local,
+        mesh=mesh,
+        in_specs=(rep, rep, rep, P(batch_axis, axis_name, None), P()),
+        out_specs=P(batch_axis, None),
+        check_vma=False,
+    )(fp_features[0], fp_features[1], fp_features[2], fp_features[3], agg_vars)
+
+    if cdt is not None:
         desc = desc.astype(jnp.float32)
         fp_features = [f.astype(jnp.float32) for f in fp_features]
     return desc, fp_features

@@ -731,6 +731,36 @@ class TestShardedOps:
             np.asarray(desc), np.asarray(ref.global_desc), atol=1e-5
         )
 
+    def test_sharded_pptnet_forward_matches_single_device(self, rng):
+        """Same whole-model decomposition for the second pyramid family:
+        the point-sharded PPT-Net forward (SA0 sharded with its GroupSA
+        replicated on the pooled table, shard-local FP0, psum-reduced
+        finest SPVLAD scale) vs the single-device PPTNet. fp features
+        bit-equal on the points mesh; descriptor at psum-reassociation
+        tolerance (measured 7.5e-8)."""
+        from jax.sharding import Mesh
+        from patchaugnet_tpu.models import PPTNet
+        from patchaugnet_tpu.parallel.sharded_model import (
+            sharded_pptnet_descriptor,
+        )
+        from test_models import PPT_PARAM
+
+        mesh = Mesh(np.array(jax.devices()[:4]), ("points",))
+        x = jnp.asarray(rng.rand(2, 256, 3).astype(np.float32))
+        model = PPTNet(param=PPT_PARAM, use_normalize=True)
+        variables = jax.jit(model.init, static_argnames=("train",))(
+            jax.random.PRNGKey(0), x, train=False
+        )
+        ref = model.apply(variables, x, train=False)
+        desc, fp_features = sharded_pptnet_descriptor(
+            variables, PPT_PARAM, x, mesh
+        )
+        np.testing.assert_allclose(
+            np.asarray(desc), np.asarray(ref.global_desc), atol=1e-5
+        )
+        for got, want in zip(fp_features, ref.fp_features):
+            assert np.asarray(got).tobytes() == np.asarray(want).tobytes()
+
     def test_sharded_retrieval_matches_single_device(self, rng):
         from patchaugnet_tpu.data import retrieval
         from patchaugnet_tpu.parallel.sharded_ops import sharded_topk_neighbors
