@@ -30,11 +30,17 @@ class PointNetFeat(nn.Module):
     # Mixed-precision compute dtype for the conv stack (STNs stay f32 —
     # they produce the geometric transforms). None = exact f32 path.
     dtype: jnp.dtype | None = None
+    # Point-axis sharding (parallel/sharded_model.py): mesh axis name the
+    # N axis of ``x`` is sharded over. Both STNs finish their global
+    # max-pools with a pmax over ICI; everything else is per-point.
+    shard_axis: str | None = None
 
     @nn.compact
     def __call__(self, x: jax.Array, *, train: bool = False) -> jax.Array:
         # x: (B, N, 3)
-        trans = STN3D(k=3, use_bn=False, name="stn")(x, train=train)
+        trans = STN3D(
+            k=3, use_bn=False, pool_axis=self.shard_axis, name="stn"
+        )(x, train=train)
         x = jnp.einsum("bnd,bde->bne", x, trans, preferred_element_type=jnp.float32)
 
         def block(h, f, name, act=True):
@@ -47,7 +53,10 @@ class PointNetFeat(nn.Module):
         x = block(x, 64, "conv1")
         x = block(x, 64, "conv2")
         if self.feature_transform:
-            f_trans = STN3D(k=64, use_bn=False, name="feature_trans")(x, train=train)
+            f_trans = STN3D(
+                k=64, use_bn=False, pool_axis=self.shard_axis,
+                name="feature_trans",
+            )(x, train=train)
             x = jnp.einsum(
                 "bnc,bcd->bnd", x, f_trans, preferred_element_type=jnp.float32
             )
@@ -55,7 +64,10 @@ class PointNetFeat(nn.Module):
         x = block(x, 128, "conv4")
         x = block(x, 1024, "conv5", act=False)
         if self.max_pool:
-            return jnp.max(x, axis=1)                      # (B, 1024)
+            pooled = jnp.max(x, axis=1)                    # (B, 1024)
+            if self.shard_axis is not None:
+                pooled = jax.lax.pmax(pooled, self.shard_axis)
+            return pooled
         return x                                           # (B, N, 1024)
 
 
@@ -68,6 +80,12 @@ class PointNetVLAD(nn.Module):
     # Mixed-precision serving (see patch_aug_net.py COMPUTE_DTYPE):
     # bf16 conv stack + VLAD einsums, f32 params/accumulation/output.
     compute_dtype: jnp.dtype | None = None
+    # Point-axis sharding: set to the mesh axis name under shard_map to
+    # run the whole forward with the N axis sharded — the two STN
+    # max-pools finish with pmax, the VLAD's two N-reductions with psum
+    # (parallel/sharded_model.py::sharded_pointnetvlad_descriptor).
+    # Eval-only (NetVLADBase guards train mode).
+    shard_axis: str | None = None
 
     @nn.compact
     def __call__(self, x: jax.Array, *, train: bool = False) -> jax.Array:
@@ -78,6 +96,7 @@ class PointNetVLAD(nn.Module):
             self.feature_transform,
             max_pool=False,
             dtype=self.compute_dtype,
+            shard_axis=self.shard_axis,
             name="point_net",
         )(x, train=train)
         out = NetVLADLoupe(
@@ -88,6 +107,7 @@ class PointNetVLAD(nn.Module):
             gating=True,
             add_batch_norm=True,
             dtype=self.compute_dtype,
+            psum_axis=self.shard_axis,
             name="net_vlad",
         )(feat, train=train)
         if self.compute_dtype is not None:

@@ -9,6 +9,8 @@ TPU-native equivalents of:
 """
 from __future__ import annotations
 
+from typing import Optional
+
 import jax
 import jax.numpy as jnp
 from flax import linen as nn
@@ -27,6 +29,12 @@ class STN3D(nn.Module):
 
     k: int = 3
     use_bn: bool = True
+    # Point-axis sharding (parallel/sharded_model.py): when the N axis of
+    # ``x`` is a shard_map-local slice of a mesh-sharded cloud, name the
+    # mesh axis here — the global max-pool finishes with a pmax over ICI
+    # (max of local maxes == global max, bit-exact). The per-point conv
+    # stack and the post-pool FCs stay local. None = single-device.
+    pool_axis: Optional[str] = None
 
     @nn.compact
     def __call__(self, x: jax.Array, *, train: bool = False) -> jax.Array:
@@ -40,6 +48,8 @@ class STN3D(nn.Module):
         h = block(h, 128, "conv2")
         h = block(h, 1024, "conv3")
         h = jnp.max(h, axis=1)                             # (B, 1024)
+        if self.pool_axis is not None:
+            h = jax.lax.pmax(h, self.pool_axis)
         h = block(h, 512, "fc1")
         h = block(h, 256, "fc2")
         # fc3 zero-init so the initial transform is the identity

@@ -299,6 +299,10 @@ class NetVLADLoupe(nn.Module):
     gating: bool = True
     add_batch_norm: bool = True
     dtype: Optional[jnp.dtype] = None
+    # Point-axis sharding (see NetVLADBase.psum_axis): the VLAD's two
+    # N-reductions finish with a psum over ICI; FC/BN/gating on the
+    # pooled (B, D) run replicated. Eval-only.
+    psum_axis: Optional[str] = None
 
     @nn.compact
     def __call__(self, x: jax.Array, *, train: bool = False) -> jax.Array:
@@ -307,6 +311,7 @@ class NetVLADLoupe(nn.Module):
             self.cluster_size,
             self.add_batch_norm,
             dtype=self.dtype,
+            psum_axis=self.psum_axis,
             name="base",
         )(x, train=train)                                   # (B, C, K)
         flat = _flatten_ck(vlad)                            # (B, C*K)

@@ -21,6 +21,7 @@ from .sharded_ops import (
 from .sharded_model import (
     sharded_fp_level,
     sharded_patchaugnet_descriptor,
+    sharded_pointnetvlad_descriptor,
     sharded_pptnet_descriptor,
 )
 
@@ -44,5 +45,6 @@ __all__ = [
     "sharded_sa_level",
     "sharded_fp_level",
     "sharded_patchaugnet_descriptor",
+    "sharded_pointnetvlad_descriptor",
     "sharded_pptnet_descriptor",
 ]

@@ -226,6 +226,56 @@ def sharded_patchaugnet_descriptor(
     return desc, fp_features
 
 
+def sharded_pointnetvlad_descriptor(
+    variables: Dict[str, Any],
+    param: Dict[str, Any],
+    x: jax.Array,
+    mesh: Mesh,
+    *,
+    axis_name: str = "points",
+    batch_axis: Optional[str] = None,
+) -> jax.Array:
+    """PointNetVLAD global-descriptor forward over a point-sharded mesh.
+
+    The flat architecture (PointNetVlad.py:180-259) is per-point except
+    for four N-reductions, so the WHOLE model runs inside one shard_map:
+    the two STN global max-pools finish with a ``pmax`` over ICI (max of
+    local maxes == global max, bit-exact), and the VLAD's two N-sums
+    finish with a ``psum`` (``NetVLADBase.psum_axis``; ~1e-7 rel
+    reassociation). Conv-stack BN in eval mode applies running averages
+    pointwise, and FC/BN/gating past the VLAD see the replicated
+    ``(b, D)`` descriptor — both shard-local.
+
+    Args:
+      variables: the full :class:`~..models.PointNetVLAD` variables dict,
+        replicated (the sharded module tree is identical — ``shard_axis``
+        only inserts collectives).
+      param: config dict (``NUM_POINTS``, ``FEATURE_OUTPUT_DIM``,
+        optional ``COMPUTE_DTYPE``).
+      x: ``(b, n, 3)`` clouds, n sharded ``P(axis_name)`` (no 4096 cap).
+
+    Returns: ``(b, FEATURE_OUTPUT_DIM)`` descriptor, replicated along
+    ``axis_name`` — matches the single-device model output.
+    """
+    from ..models import PointNetVLAD
+
+    cdt = param.get("COMPUTE_DTYPE")
+    model = PointNetVLAD(
+        num_points=param["NUM_POINTS"],
+        output_dim=param["FEATURE_OUTPUT_DIM"],
+        compute_dtype=None if cdt is None else cdt,
+        shard_axis=axis_name,
+    )
+    fn = shard_map(
+        lambda v, c: model.apply(v, c, train=False),
+        mesh=mesh,
+        in_specs=(P(), P(batch_axis, axis_name, None)),
+        out_specs=P(batch_axis, None),
+        check_vma=False,
+    )
+    return fn(variables, x)
+
+
 def sharded_pptnet_descriptor(
     variables: Dict[str, Any],
     param: Dict[str, Any],

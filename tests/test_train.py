@@ -761,6 +761,56 @@ class TestShardedOps:
         for got, want in zip(fp_features, ref.fp_features):
             assert np.asarray(got).tobytes() == np.asarray(want).tobytes()
 
+    @pytest.mark.parametrize("mesh_kind", ["points4", "dp_sp_2x4"])
+    def test_sharded_pointnetvlad_forward_matches_single_device(
+        self, rng, mesh_kind
+    ):
+        """Third family point-sharded: the flat PointNetVLAD forward runs
+        whole inside one shard_map (parallel/sharded_model.py) — STN
+        max-pools finish with pmax (bit-exact), the VLAD N-sums with
+        psum. Descriptor vs the single-device model at
+        psum-reassociation tolerance; also checked at n = 4x the
+        configured num_points (no 4096-style cap)."""
+        from jax.sharding import Mesh
+        from patchaugnet_tpu.models import PointNetVLAD
+        from patchaugnet_tpu.parallel.sharded_model import (
+            sharded_pointnetvlad_descriptor,
+        )
+
+        if mesh_kind == "points4":
+            mesh = Mesh(np.array(jax.devices()[:4]), ("points",))
+            batch_axis = None
+        else:
+            mesh = Mesh(
+                np.array(jax.devices()[:8]).reshape(2, 4), ("data", "points")
+            )
+            batch_axis = "data"
+        param = {"NUM_POINTS": 64, "FEATURE_OUTPUT_DIM": 32}
+        x = jnp.asarray(rng.rand(2, 64, 3).astype(np.float32))
+        model = PointNetVLAD(num_points=64, output_dim=32)
+        variables = jax.jit(model.init, static_argnames=("train",))(
+            jax.random.PRNGKey(0), x, train=False
+        )
+        ref = model.apply(variables, x, train=False)
+        desc = sharded_pointnetvlad_descriptor(
+            variables, param, x, mesh,
+            axis_name="points", batch_axis=batch_axis,
+        )
+        np.testing.assert_allclose(
+            np.asarray(desc), np.asarray(ref), atol=1e-5
+        )
+        if batch_axis is None:
+            # scaling regime: 4x the configured num_points through the
+            # SAME variables (every layer is N-generic)
+            x_big = jnp.asarray(rng.rand(2, 256, 3).astype(np.float32))
+            ref_big = model.apply(variables, x_big, train=False)
+            desc_big = sharded_pointnetvlad_descriptor(
+                variables, param, x_big, mesh, axis_name="points"
+            )
+            np.testing.assert_allclose(
+                np.asarray(desc_big), np.asarray(ref_big), atol=1e-5
+            )
+
     def test_sharded_retrieval_matches_single_device(self, rng):
         from patchaugnet_tpu.data import retrieval
         from patchaugnet_tpu.parallel.sharded_ops import sharded_topk_neighbors
