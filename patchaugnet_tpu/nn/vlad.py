@@ -57,7 +57,9 @@ class NetVLADBase(nn.Module):
     # mesh axis here — the two N-reductions (``a_sum`` and the residual
     # einsum) finish with a psum over ICI; the per-point work (assignment
     # matmul, BN, softmax) stays local. Eval-only: BN batch stats would
-    # otherwise reduce over the local shard. None = single-device.
+    # otherwise reduce over the local shard (the point-sharded TRAIN
+    # path runs this module on global arrays instead —
+    # parallel/sharded_train.py). None = single-device.
     psum_axis: Optional[str] = None
 
     @nn.compact
@@ -65,7 +67,8 @@ class NetVLADBase(nn.Module):
         if self.psum_axis is not None and train:
             raise ValueError(
                 "psum_axis is an eval-serving path: train-mode BN would "
-                "compute per-shard batch stats"
+                "compute per-shard batch stats (use the GSPMD global "
+                "apply in parallel/sharded_train.py for training)"
             )
         init = _scaled_normal(self.feature_size)
         cluster_w = self.param(

@@ -24,6 +24,10 @@ from .sharded_model import (
     sharded_pointnetvlad_descriptor,
     sharded_pptnet_descriptor,
 )
+from .sharded_train import (
+    build_sharded_train_step,
+    sharded_patchaugnet_train_forward,
+)
 
 __all__ = [
     "make_mesh",
@@ -47,4 +51,6 @@ __all__ = [
     "sharded_patchaugnet_descriptor",
     "sharded_pointnetvlad_descriptor",
     "sharded_pptnet_descriptor",
+    "build_sharded_train_step",
+    "sharded_patchaugnet_train_forward",
 ]

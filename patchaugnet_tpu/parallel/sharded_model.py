@@ -77,7 +77,10 @@ def sharded_fp_level(
     3-NN interpolation (ops/grouping.py:186-193) is per-unknown-point
     against the small replicated known set, and the fusion SharedMLP is
     pointwise, so the whole level runs shard-local — zero collectives.
-    Output keeps the unknown axis sharded ``P(axis_name)``.
+    Output keeps the unknown axis sharded ``P(axis_name)``. Eval-only
+    (train-mode BN would see per-shard stats; the point-sharded TRAIN
+    path applies the module on global arrays instead —
+    parallel/sharded_train.py).
     """
     def local(u_xyz, k_xyz, u_f, k_f, fv):
         return fp_module.apply(fv, u_xyz, k_xyz, u_f, k_f, train=False)

@@ -176,6 +176,7 @@ def sharded_sa_level(
     axis_name: str = "points",
     batch_axis: Optional[str] = "data",
     use_xyz: bool = True,
+    mlp_returns_aux: bool = False,
 ):
     """One FULL PointNet2 set-abstraction level with the point axis
     sharded over the mesh (SURVEY §5.7 made whole-layer, not per-op —
@@ -193,11 +194,15 @@ def sharded_sa_level(
 
     Args:
       mlp_apply: ``(b, m, k, c_in) -> (b, m, k, c_out)`` — the SA
-        level's SharedMLP bound with its parameters (eval mode).
+        level's SharedMLP bound with its parameters (eval mode). With
+        ``mlp_returns_aux=True`` it instead returns ``(out, aux)`` —
+        e.g. mutated train-mode batch stats (parallel/sharded_train.py;
+        the MLP runs on replicated tables, so train stats need no sync).
       xyz: ``(b, n, 3)`` points, n sharded ``P(axis_name)``.
       features: ``(b, n, c)`` per-point features, sharded like xyz.
     Returns: ``(new_xyz, center_idx, sample_idx, pooled)`` matching
-      ``SALevelOutput`` field order.
+      ``SALevelOutput`` field order, plus ``aux`` when
+      ``mlp_returns_aux=True``.
     """
     center_idx = sharded_fps(xyz, npoint, mesh, axis_name, batch_axis)
     new_xyz = sharded_gather(xyz, center_idx, mesh, axis_name, batch_axis)
@@ -218,6 +223,9 @@ def sharded_sa_level(
         new_features = jnp.concatenate([centered_xyz, grouped_feats], axis=-1)
     else:
         new_features = grouped_feats
+    if mlp_returns_aux:
+        mlp_out, aux = mlp_apply(new_features)
+        return new_xyz, center_idx, sample_idx, jnp.max(mlp_out, axis=2), aux
     pooled = jnp.max(mlp_apply(new_features), axis=2)
     return new_xyz, center_idx, sample_idx, pooled
 
