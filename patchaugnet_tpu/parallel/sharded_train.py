@@ -28,17 +28,19 @@ TRAINING clouds rides a ``points`` mesh axis end to end:
     ``build_parallel_train_step`` (dp), and a giant-N run would combine
     this trunk with that branch at SAMPLING[0] scale.
 
-Equivalence oracle (tests/test_train.py): loss, descriptor, updated
-batch stats and parameter gradients all match the single-device
-``make_loss_fn`` step at reassociation tolerance on the 8-device CPU
-mesh (points-only and dp x sp).
+Equivalence oracle (tests/test_train.py, points-only and dp x sp on
+the 8-device CPU mesh): loss, descriptor and updated batch stats match
+the single-device ``make_loss_fn`` step at reassociation tolerance;
+gradients under a structural per-leaf rel-L2 bound plus a 2-step
+trajectory check — per-leaf grad EQUALITY is not assertable on this
+backend (the single-device backward itself flips near-tied neighbour
+max-pool routing between schedules; see CLAUDE.md).
 """
 from __future__ import annotations
 
 from typing import Any, Dict, Optional, Tuple
 
 import jax
-import jax.numpy as jnp
 from jax.sharding import Mesh
 
 from ..losses import get_loss_func
