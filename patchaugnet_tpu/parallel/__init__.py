@@ -27,6 +27,7 @@ from .sharded_model import (
 from .sharded_train import (
     build_sharded_train_step,
     sharded_patchaugnet_train_forward,
+    sharded_pptnet_train_forward,
 )
 
 __all__ = [
@@ -53,4 +54,5 @@ __all__ = [
     "sharded_pptnet_descriptor",
     "build_sharded_train_step",
     "sharded_patchaugnet_train_forward",
+    "sharded_pptnet_train_forward",
 ]

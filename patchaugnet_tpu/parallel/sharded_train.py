@@ -1,4 +1,4 @@
-"""Point-axis-sharded PatchAugNet TRAINING (descriptor trunk).
+"""Point-axis-sharded TRAINING (PatchAugNet + PPT-Net descriptor trunks).
 
 Extends parallel/sharded_model.py's eval decomposition to train mode —
 the piece the reference cannot express at all: its training caps clouds
@@ -173,6 +173,121 @@ def sharded_patchaugnet_train_forward(
     return desc, new_bs
 
 
+def sharded_pptnet_train_forward(
+    params: Dict[str, Any],
+    batch_stats: Dict[str, Any],
+    param: Dict[str, Any],
+    x: jax.Array,
+    mesh: Mesh,
+    *,
+    axis_name: str = "points",
+    batch_axis: Optional[str] = None,
+    use_normalize: bool = False,
+) -> Tuple[jax.Array, Dict[str, Any]]:
+    """Train-mode PPT-Net descriptor forward with the point axis sharded.
+
+    Same decomposition as :func:`sharded_patchaugnet_train_forward` for
+    the 4-level pyramid (models/pptnet.py): SA0's geometry rides the
+    mesh (its SharedMLP + GroupSA see replicated tables), SA1-3 / FP3-1
+    apply replicated, FP0 + the 4-scale SPVLAD apply on GLOBAL arrays so
+    train-mode BN reduces over the full (B, N) population. Returns
+    ``(desc, new_batch_stats)``; ``use_normalize`` mirrors the
+    ``pptnet_l2_norm`` model variant.
+    """
+    from ..nn import GroupSA, PPTSpatialPyramidNetVLAD, l2_normalize
+
+    p = param
+    variables = {"params": params, "batch_stats": batch_stats}
+    sap, knn_k, fs, gp = p["SAMPLING"], p["KNN"], p["FEATURE_SIZE"], p["GROUP"]
+    if x.ndim == 4:
+        x = x.squeeze(1)
+    xyz = x
+    new_bs: Dict[str, Any] = dict(batch_stats)
+
+    mlp0 = SharedMLP((32, 32, 64))
+    mlp0_vars = _subtree(variables, "sa0", "mlp")
+
+    def mlp0_apply(g):
+        y, mut = mlp0.apply(mlp0_vars, g, train=True, mutable=["batch_stats"])
+        return y, mut["batch_stats"]
+
+    xyz1, _, _, feats1, sa0_mlp_stats = sharded_sa_level(
+        mlp0_apply, xyz, x,
+        npoint=sap[0], nsample=knn_k[0],
+        mesh=mesh, axis_name=axis_name, batch_axis=batch_axis,
+        mlp_returns_aux=True,
+    )
+    # grouped self-attention on the pooled replicated (b, sap[0], 64)
+    sa0_att = GroupSA(64, gp)
+    feats1, mut = sa0_att.apply(
+        _subtree(variables, "sa0", "sa"), feats1,
+        train=True, mutable=["batch_stats"],
+    )
+    new_bs["sa0"] = {
+        **batch_stats["sa0"],
+        "mlp": sa0_mlp_stats,
+        "sa": mut["batch_stats"],
+    }
+
+    widths = [(64, 64, 128), (128, 128, 256), (256, 256, 512)]
+    l_xyz = [xyz, xyz1]
+    l_feats = [x, feats1]
+    for i, w in enumerate(widths, start=1):
+        sa = PointNet2SAModule(
+            npoint=sap[i], nsample=knn_k[i], mlp=w, gp=gp
+        )
+        o, mut = sa.apply(
+            _subtree(variables, f"sa{i}"), l_xyz[i], l_feats[i],
+            train=True, mutable=["batch_stats"],
+        )
+        new_bs[f"sa{i}"] = mut["batch_stats"]
+        l_xyz.append(o.new_xyz)
+        l_feats.append(o.features)
+
+    fp_specs = [
+        (256, 256, fs[0]),
+        (256, fs[1]),
+        (256, fs[2]),
+        (256, fs[3]),
+    ]
+    for i in range(3, 0, -1):
+        fp = PointNet2FPModule(mlp=fp_specs[i])
+        l_feats[i], mut = fp.apply(
+            _subtree(variables, f"fp{i}"),
+            l_xyz[i], l_xyz[i + 1], l_feats[i], l_feats[i + 1],
+            train=True, mutable=["batch_stats"],
+        )
+        new_bs[f"fp{i}"] = mut["batch_stats"]
+
+    # FP0 + SPVLAD on GLOBAL arrays (train-mode BN; see the PatchAugNet
+    # variant's comment)
+    fp0 = PointNet2FPModule(mlp=fp_specs[0])
+    l_feats[0], mut = fp0.apply(
+        _subtree(variables, "fp0"),
+        l_xyz[0], l_xyz[1], l_feats[0], l_feats[1],
+        train=True, mutable=["batch_stats"],
+    )
+    new_bs["fp0"] = mut["batch_stats"]
+
+    agg = PPTSpatialPyramidNetVLAD(
+        feature_size=fs,
+        max_samples=p["MAX_SAMPLES"],
+        cluster_size=p["CLUSTER_SIZE"],
+        output_dim=p["OUTPUT_DIM"],
+        gating=p["GATING"],
+        add_batch_norm=True,
+    )
+    desc, mut = agg.apply(
+        _subtree(variables, "aggregation"),
+        [l_feats[3], l_feats[2], l_feats[1], l_feats[0]],
+        train=True, mutable=["batch_stats"],
+    )
+    new_bs["aggregation"] = mut["batch_stats"]
+    if use_normalize:
+        desc = l2_normalize(desc, axis=-1)
+    return desc, new_bs
+
+
 def build_sharded_train_step(
     cfg: Dict[str, Any],
     mesh: Mesh,
@@ -183,11 +298,13 @@ def build_sharded_train_step(
     """``step(state, clouds) -> (state, metrics)`` with the point axis of
     the training clouds sharded over ``mesh``.
 
-    The loss is the place-recognition term of the single-device
-    ``train.step.make_loss_fn`` (quadruplet by default,
-    train_place_recognition.py:166-178 semantics); gradients flow
-    through every shard_map stage and the optimizer update runs on the
-    replicated parameters. ``state`` is a ``train.state.TrainState``.
+    Dispatches on ``cfg["model_type"]`` (patch_aug_net default; pptnet /
+    pptnet_l2_norm use the PPT-Net forward). The loss is the
+    place-recognition term of the single-device ``train.step.make_loss_fn``
+    (quadruplet by default, train_place_recognition.py:166-178
+    semantics); gradients flow through every shard_map stage and the
+    optimizer update runs on the replicated parameters. ``state`` is a
+    ``train.state.TrainState``.
     """
     from ..train.step import _split_tuple
 
@@ -199,12 +316,23 @@ def build_sharded_train_step(
     lazy = cfg.get("LOSS_LAZY", True)
     use_min = cfg.get("TRIPLET_USE_BEST_POSITIVES", False)
     ignore_zero = cfg.get("LOSS_IGNORE_ZERO_BATCH", False)
+    model_type = cfg.get("model_type", "patch_aug_net")
+    if model_type in ("pptnet", "pptnet_l2_norm"):
+        def forward(params, batch_stats, clouds):
+            return sharded_pptnet_train_forward(
+                params, batch_stats, cfg, clouds, mesh,
+                axis_name=axis_name, batch_axis=batch_axis,
+                use_normalize=model_type == "pptnet_l2_norm",
+            )
+    else:
+        def forward(params, batch_stats, clouds):
+            return sharded_patchaugnet_train_forward(
+                params, batch_stats, cfg, clouds, mesh,
+                axis_name=axis_name, batch_axis=batch_axis,
+            )
 
     def loss_fn(params, batch_stats, clouds):
-        desc, new_bs = sharded_patchaugnet_train_forward(
-            params, batch_stats, cfg, clouds, mesh,
-            axis_name=axis_name, batch_axis=batch_axis,
-        )
+        desc, new_bs = forward(params, batch_stats, clouds)
         q, pos, neg, other = _split_tuple(desc, batch_size, num_pos, num_neg)
         loss = pr_loss(
             q, pos, neg, other, m1, m2,

@@ -931,6 +931,90 @@ class TestShardedOps:
 
         jax.tree_util.tree_map(rel_l2, sh_grads, ref_grads)
 
+    def test_sharded_pptnet_train_forward_matches_single_device(self, rng):
+        """Point-sharded PPT-Net TRAINING (the second pyramid family,
+        parallel/sharded_train.py::sharded_pptnet_train_forward) vs the
+        single-device make_loss_fn on the dp x sp mesh — same altitudes
+        as the PatchAugNet variant; bounds carry 2-4x headroom over the
+        measured run (loss rel 1.5e-4, worst grad leaf rel-L2 2.6e-2 —
+        PPT's GATING + deeper BN stack amplifies reassociation noise
+        more than PatchAugNet's)."""
+        from jax.sharding import Mesh
+        from patchaugnet_tpu.models import PPTNet
+        from patchaugnet_tpu.parallel.sharded_train import (
+            sharded_pptnet_train_forward,
+        )
+        from patchaugnet_tpu.train.step import _split_tuple, make_loss_fn
+        from patchaugnet_tpu import losses as L
+        from test_models import PPT_PARAM
+
+        cfg = dict(
+            PPT_PARAM,
+            model_type="pptnet",
+            TRAIN_BATCH_SIZE=2,
+            TRAIN_POSITIVES_PER_QUERY=1,
+            TRAIN_NEGATIVES_PER_QUERY=2,
+            MARGIN_1=0.5,
+            MARGIN_2=0.2,
+            LOSS_FUNCTION="quadruplet",
+            LOSS_LAZY=False,
+            TRIPLET_USE_BEST_POSITIVES=False,
+            LOSS_IGNORE_ZERO_BATCH=False,
+        )
+        bs, np_, nn_ = 2, 1, 2
+        total = bs * (1 + np_ + nn_ + 1)
+        clouds = jnp.asarray(
+            rng.rand(total, cfg["NUM_POINTS"], 3).astype(np.float32)
+        )
+        model = PPTNet(param=cfg, use_normalize=False)
+        variables = jax.jit(model.init, static_argnames=("train",))(
+            jax.random.PRNGKey(0), clouds, train=False
+        )
+        params, bstats = variables["params"], variables["batch_stats"]
+        ref_loss_fn = make_loss_fn(model, cfg)
+        (ref_loss, (_, ref_bs)), ref_grads = jax.value_and_grad(
+            ref_loss_fn, has_aux=True
+        )(params, bstats, clouds, None, None)
+
+        mesh = Mesh(
+            np.array(jax.devices()[:8]).reshape(2, 4), ("data", "points")
+        )
+        pr_loss = L.get_loss_func("quadruplet")
+
+        def sh_loss_fn(p, b, c):
+            desc, new_bs = sharded_pptnet_train_forward(
+                p, b, cfg, c, mesh, axis_name="points", batch_axis="data"
+            )
+            q, pos, neg, other = _split_tuple(desc, bs, np_, nn_)
+            loss = pr_loss(
+                q, pos, neg, other, 0.5, 0.2,
+                use_min=False, lazy=False, ignore_zero_loss=False,
+            )
+            return loss, new_bs
+
+        (sh_loss, sh_bs), sh_grads = jax.value_and_grad(
+            sh_loss_fn, has_aux=True
+        )(params, bstats, clouds)
+        np.testing.assert_allclose(
+            float(sh_loss), float(ref_loss), rtol=5e-4
+        )
+        jax.tree_util.tree_map(
+            lambda a, b: np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), rtol=2e-4, atol=2e-5
+            ),
+            sh_bs, ref_bs,
+        )
+        g_ref = jax.tree_util.tree_leaves(ref_grads)
+        gmax = max(float(np.linalg.norm(np.asarray(g))) for g in g_ref)
+
+        def rel_l2(a, b):
+            a = np.asarray(a, np.float64)
+            b = np.asarray(b, np.float64)
+            err = np.linalg.norm(a - b) / max(np.linalg.norm(b), 1e-4 * gmax)
+            assert err < 1e-1, f"grad leaf rel-L2 {err:.3e}"
+
+        jax.tree_util.tree_map(rel_l2, sh_grads, ref_grads)
+
     def test_sharded_train_step_trajectory_matches_single_device(self, rng):
         """build_sharded_train_step end to end: a 2-step SGD-momentum
         trajectory on the points mesh vs the single-device
